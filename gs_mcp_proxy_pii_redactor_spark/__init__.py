@@ -1,0 +1,20 @@
+"""gs_mcp_proxy_pii_redactor_spark — PySpark-native PII-scrub + quality-filter engine.
+
+A brand-new, Spark-first batch analytics engine with the query and
+data-processing capabilities of growthspace-engineering/gs-mcp-proxy-pii-redactor
+(reference studied read-only at /root/reference), re-expressed as:
+
+* a pure-Python byte-parity redaction kernel (``kernel/``) used both as
+  the pandas-UDF payload and as the test oracle;
+* vectorized Arrow/pandas UDFs + native Catalyst expressions
+  (``functions/``) for scrub, language-ID, perplexity and quality rules;
+* large-scale training-data operators (``operators/``): dedup (exact,
+  MinHash-LSH, SimHash, n-gram Jaccard), ANN similarity search, text
+  stats, multimodal column plumbing;
+* sources/sinks (``sources/``) with a Parquet/Iceberg table adapter and
+  deterministic transcript synthesis;
+* the end-to-end pipeline, config, metrics and checkpoint/resume
+  (``plans/``), plus a Structured Streaming variant (``streaming/``).
+"""
+
+__version__ = "0.1.0"

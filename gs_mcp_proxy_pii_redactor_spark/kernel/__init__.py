@@ -1,0 +1,32 @@
+"""Pure-Python redaction kernel — byte-parity core, Spark-free.
+
+This module is both the payload of the Spark pandas UDFs and the test
+oracle: every assertion from the reference's scanner/matcher/service test
+suites is ported against these functions (see tests/test_scanner.py,
+tests/test_matcher.py, tests/test_snapshot_parity.py).
+"""
+
+from .matcher import Matcher, REDACTED
+from .scanner import redact_generic, scan_email_at, scan_phone_at
+from .service import (
+    RedactionConfig,
+    load_dictionary_lines,
+    redact_all_strings,
+    redact_by_keys,
+    redact_response,
+    redact_text,
+)
+
+__all__ = [
+    "Matcher",
+    "REDACTED",
+    "redact_generic",
+    "scan_email_at",
+    "scan_phone_at",
+    "RedactionConfig",
+    "load_dictionary_lines",
+    "redact_all_strings",
+    "redact_by_keys",
+    "redact_response",
+    "redact_text",
+]

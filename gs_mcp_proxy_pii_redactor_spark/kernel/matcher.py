@@ -1,0 +1,154 @@
+"""Case-insensitive, whole-word dictionary matcher with interval merging.
+
+Byte-parity re-implementation of the reference's matcher
+(reference: src/redaction/matcher.ts:1-146):
+
+* patterns are lowercased, de-duplicated, empties dropped at build time
+  (matcher.ts:17-25); an empty dictionary raises (matcher.ts:39-41);
+* matching runs over ``text.lower()`` and keeps a hit only when the
+  characters adjacent to the span are not ``[a-zA-Z0-9_]`` — checked
+  against the ORIGINAL text (matcher.ts:106,131-145);
+* all (possibly overlapping) occurrences of all patterns are collected,
+  sorted by start, and overlapping-or-touching intervals are merged —
+  a new interval starts only when ``m.start > last.end`` (matcher.ts:57-66);
+* each merged interval is spliced to a single ``[REDACTED]``
+  (matcher.ts:69-81).
+
+Implementation notes (Spark-first, not a port): the reference builds an
+Aho–Corasick automaton for O(n + hits) multi-pattern search. In CPython a
+hand-rolled per-character automaton loop is slower than the C-implemented
+``re`` engine, so the fast path here compiles one alternation regex with
+ASCII word-boundary lookarounds, alternatives sorted longest-first, and
+restarts each search at ``last_start + 1`` so overlapping starts are still
+discovered. For ASCII text this provably yields the same merged intervals
+as find-all-then-merge (the merge outcome only depends on the longest
+valid match at each start position). Non-ASCII text (or dictionaries)
+falls back to an exact transliteration of the reference's sequential
+``indexOf`` path (matcher.ts:114-127), which the reference itself treats
+as semantically identical to the automaton path.
+"""
+
+from __future__ import annotations
+
+import re
+
+REDACTED = "[REDACTED]"
+
+_WORD_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+)
+
+
+class Matcher:
+    """Multi-pattern whole-word redactor (reference matcher.ts:12-146)."""
+
+    __slots__ = ("patterns", "_fast_re", "_ascii_patterns")
+
+    def __init__(self, dictionary: list[str]):
+        if not dictionary:
+            raise ValueError("Empty dictionary for matcher")
+        seen: set[str] = set()
+        patterns: list[str] = []
+        for p in dictionary:
+            lp = p.lower()
+            if lp and lp not in seen:
+                seen.add(lp)
+                patterns.append(lp)
+        self.patterns = patterns
+        self._ascii_patterns = all(p.isascii() for p in patterns)
+        if self._ascii_patterns:
+            alternation = "|".join(
+                re.escape(p) for p in sorted(patterns, key=len, reverse=True)
+            )
+            self._fast_re = re.compile(
+                r"(?<![a-zA-Z0-9_])(?:" + alternation + r")(?![a-zA-Z0-9_])"
+            )
+        else:
+            self._fast_re = None
+
+    @classmethod
+    def build(cls, dictionary: list[str]) -> "Matcher":
+        return cls(dictionary)
+
+    # -- matching ---------------------------------------------------------
+
+    def _merged_intervals_fast(self, lower_text: str) -> list[list[int]]:
+        """ASCII fast path: merged match intervals via one compiled regex.
+
+        Restarting at ``start + 1`` recovers overlapping starts (e.g.
+        dict ["a b", "b c"] over "a b c" merges to one interval, matching
+        the reference's find-all + merge).
+        """
+        merged: list[list[int]] = []
+        pos = 0
+        search = self._fast_re.search
+        while True:
+            m = search(lower_text, pos)
+            if m is None:
+                break
+            s, e = m.start(), m.end()
+            if merged and s <= merged[-1][1]:
+                if e > merged[-1][1]:
+                    merged[-1][1] = e
+            else:
+                merged.append([s, e])
+            pos = s + 1
+        return merged
+
+    def _merged_intervals_exact(self, text: str, lower_text: str) -> list[list[int]]:
+        """Exact transliteration of matcher.ts:114-127 + merge (:57-66)."""
+        matches: list[tuple[int, int]] = []
+        for pattern in self.patterns:
+            plen = len(pattern)
+            idx = lower_text.find(pattern)
+            while idx != -1:
+                start, end = idx, idx + plen
+                if self._is_whole_word(text, start, end):
+                    matches.append((start, end))
+                idx = lower_text.find(pattern, idx + 1)
+        if not matches:
+            return []
+        matches.sort(key=lambda m: m[0])
+        merged: list[list[int]] = []
+        for s, e in matches:
+            if not merged or s > merged[-1][1]:
+                merged.append([s, e])
+            elif e > merged[-1][1]:
+                merged[-1][1] = e
+        return merged
+
+    @staticmethod
+    def _is_whole_word(text: str, start: int, end: int) -> bool:
+        if start > 0 and text[start - 1] in _WORD_CHARS:
+            return False
+        if end < len(text) and text[end] in _WORD_CHARS:
+            return False
+        return True
+
+    # -- public API -------------------------------------------------------
+
+    def find_merged_intervals(self, text: str) -> list[list[int]]:
+        if not text:
+            return []
+        if self._fast_re is not None and text.isascii():
+            # ASCII: lower() preserves length/positions and the word-char
+            # class is closed under lowercasing, so running the boundary
+            # lookarounds on the lowered text equals checking the original.
+            return self._merged_intervals_fast(text.lower())
+        return self._merged_intervals_exact(text, text.lower())
+
+    def redact(self, text: str) -> str:
+        """Replace every merged match interval with ``[REDACTED]``."""
+        merged = self.find_merged_intervals(text)
+        if not merged:
+            return text
+        parts: list[str] = []
+        cursor = 0
+        for s, e in merged:
+            if s > cursor:
+                parts.append(text[cursor:s])
+            parts.append(REDACTED)
+            cursor = e
+        if cursor < len(text):
+            parts.append(text[cursor:])
+        return "".join(parts)

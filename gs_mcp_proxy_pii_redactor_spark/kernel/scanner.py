@@ -1,0 +1,255 @@
+"""Generic PII scanner: single-pass email + phone redaction.
+
+Byte-parity re-implementation of the reference's generic scanner
+(reference: src/redaction/scanner-generic.ts:1-237). Semantics are
+transliterated exactly — including the documented quirks:
+
+* a phone candidate greedily consumes trailing separators, so a following
+  word character kills the match (scanner-generic.ts:159-185,195-200);
+  e.g. ``"+1 (650) 555-1234 or"`` is NOT redacted while
+  ``"+972 52-353-1234."`` at end-of-string swallows the trailing dot.
+* after a failed candidate the scan restarts at ``i + 1``
+  (scanner-generic.ts:45), so a match may begin mid-digit-run.
+* bare digit runs (no separator, no ``+``) of >= 12 digits are only valid
+  when they start with ``"00"`` (scanner-generic.ts:202-206).
+* all character classes are ASCII-only (scanner-generic.ts:211-237) —
+  Python's Unicode-wide ``str.isalpha`` etc. must NOT be used here.
+
+Performance: the reference iterates every character; only ``@``, ``+`` and
+digits can start a candidate, so this implementation jumps between trigger
+characters with a compiled regex (C speed) — observable behavior is
+identical because non-trigger characters are skipped unchanged either way.
+"""
+
+from __future__ import annotations
+
+import re
+
+PHONE_MIN_DIGITS = 10
+PHONE_MAX_DIGITS = 15
+REDACTED = "[REDACTED]"
+
+# Characters at which the reference's per-char loop can do any work
+# (scanner-generic.ts:19,32).
+_TRIGGER_RE = re.compile(r"[@+0-9]")
+
+_DIGITS = frozenset("0123456789")
+_ASCII_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_ALNUM = _DIGITS | _ASCII_LETTERS
+_ALPHA_UNDERSCORE = _ASCII_LETTERS | {"_"}
+_ALNUM_UNDERSCORE = _ALNUM | {"_"}
+_EMAIL_LOCAL = _ALNUM | {".", "_", "+", "-"}
+_DOMAIN_LABEL = _ALNUM | {"-"}
+
+
+def is_digit(ch: str) -> bool:
+    return ch in _DIGITS
+
+
+def is_letter(ch: str) -> bool:
+    return ch in _ASCII_LETTERS
+
+
+def is_alpha_num(ch: str) -> bool:
+    return ch in _ALNUM
+
+
+def is_alpha_underscore(ch: str) -> bool:
+    return ch in _ALPHA_UNDERSCORE
+
+
+def is_alpha_num_underscore(ch: str) -> bool:
+    return ch in _ALNUM_UNDERSCORE
+
+
+def is_email_local_char(ch: str) -> bool:
+    return ch in _EMAIL_LOCAL
+
+
+def is_domain_label_char(ch: str) -> bool:
+    return ch in _DOMAIN_LABEL
+
+
+_INVALID = (0, 0, False)
+
+
+def scan_email_at(s: str, idx: int) -> tuple[int, int, bool]:
+    """Validate an email candidate around the ``@`` at ``idx``.
+
+    Returns ``(start, end, valid)``; parity with scanner-generic.ts:59-135.
+    """
+    n = len(s)
+    if idx <= 0 or idx >= n - 1:
+        return _INVALID
+
+    # Expand left over local-part characters.
+    l = idx - 1
+    while l >= 0 and s[l] in _EMAIL_LOCAL:
+        l -= 1
+    local_start = l + 1
+    local_end = idx
+
+    if local_start >= local_end:
+        return _INVALID
+
+    # No leading/trailing dot, no consecutive dots in the local part.
+    if s[local_start] == "." or s[local_end - 1] == ".":
+        return _INVALID
+    if ".." in s[local_start:local_end]:
+        return _INVALID
+
+    # Expand right over domain labels.
+    r = idx + 1
+    label_len = 0
+    has_dot = False
+    last_dot = -1
+    while r < n:
+        ch = s[r]
+        if ch in _DOMAIN_LABEL:
+            label_len += 1
+            r += 1
+            continue
+        if ch == ".":
+            if label_len == 0 or s[r - 1] == "-":
+                return _INVALID
+            has_dot = True
+            last_dot = r
+            label_len = 0
+            r += 1
+            continue
+        break
+
+    domain_end = r
+    if label_len == 0 or s[domain_end - 1] == "-":
+        return _INVALID
+    if not has_dot:
+        return _INVALID
+    # Final label (TLD) must be 2..24 chars.
+    tld_len = domain_end - last_dot - 1
+    if last_dot < 0 or tld_len < 2 or tld_len > 24:
+        return _INVALID
+
+    # Boundary checks: adjacent word characters invalidate the candidate.
+    if local_start > 0 and s[local_start - 1] in _ALNUM_UNDERSCORE:
+        return _INVALID
+    if domain_end < n and s[domain_end] in _ALNUM_UNDERSCORE:
+        return _INVALID
+
+    return (local_start, domain_end, True)
+
+
+def scan_phone_at(
+    s: str,
+    i: int,
+    min_digits: int = PHONE_MIN_DIGITS,
+    max_digits: int = PHONE_MAX_DIGITS,
+) -> tuple[int, int, bool]:
+    """Validate a phone candidate starting at ``i``.
+
+    Parity with scanner-generic.ts:137-209, including greedy trailing
+    separators, paren balancing and the bare-run ``00`` rule.
+    """
+    n = len(s)
+    start = i
+    j = i
+    digit_count = 0
+    seen_plus = False
+    seen_separator = False
+    paren_depth = 0
+
+    if s[j] == "+":
+        seen_plus = True
+        j += 1
+        if j >= n:
+            return _INVALID
+
+    while j < n:
+        ch = s[j]
+        if ch in _DIGITS:
+            digit_count += 1
+            j += 1
+        elif ch == " " or ch == "-" or ch == ".":
+            seen_separator = True
+            j += 1
+        elif ch == "(":
+            paren_depth += 1
+            seen_separator = True
+            j += 1
+        elif ch == ")":
+            if paren_depth == 0:
+                return _INVALID
+            paren_depth -= 1
+            j += 1
+        else:
+            # 'x'/'X' terminates the scan like any other non-phone char
+            # (scanner-generic.ts:177-181 — both branches break).
+            break
+
+    end = j
+    if paren_depth != 0:
+        return _INVALID
+    if digit_count < min_digits or digit_count > max_digits:
+        return _INVALID
+
+    if start > 0 and s[start - 1] in _ALPHA_UNDERSCORE:
+        return _INVALID
+    if end < n and s[end] in _ALPHA_UNDERSCORE:
+        return _INVALID
+
+    if not seen_separator and not seen_plus and digit_count >= 12:
+        if not (start + 1 < n and s[start] == "0" and s[start + 1] == "0"):
+            return _INVALID
+
+    return (start, end, True)
+
+
+def redact_generic(s: str) -> str:
+    """Redact emails and phone numbers in one left-to-right pass.
+
+    Parity with scanner-generic.ts:7-57. Returns the original object when
+    nothing matched (same as the reference's identity early-exit).
+    """
+    if not s:
+        return s
+
+    n = len(s)
+    result: list[str] = []
+    last_write = 0
+    i = 0
+    search = _TRIGGER_RE.search
+
+    while i < n:
+        m = search(s, i)
+        if m is None:
+            break
+        i = m.start()
+        c = s[i]
+
+        if c == "@":
+            e_start, e_end, e_valid = scan_email_at(s, i)
+            if e_valid:
+                if e_start > last_write:
+                    result.append(s[last_write:e_start])
+                result.append(REDACTED)
+                last_write = e_end
+                i = e_end
+                continue
+        else:  # '+' or digit
+            p_start, p_end, p_valid = scan_phone_at(
+                s, i, PHONE_MIN_DIGITS, PHONE_MAX_DIGITS
+            )
+            if p_valid:
+                if p_start > last_write:
+                    result.append(s[last_write:p_start])
+                result.append(REDACTED)
+                last_write = p_end
+                i = p_end
+                continue
+
+        i += 1
+
+    if last_write == 0:
+        return s
+    if last_write < n:
+        result.append(s[last_write:])
+    return "".join(result)

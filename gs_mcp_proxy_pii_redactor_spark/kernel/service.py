@@ -1,0 +1,94 @@
+"""Redaction pipeline composition and JSON-tree traversal semantics.
+
+Parity with the reference's RedactionService
+(reference: src/redaction/redaction.service.ts:58-119):
+
+* per string: generic scan FIRST, then dictionary matcher
+  (redaction.service.ts:72-73 — pipeline order is load-bearing);
+* ``redact_response`` gates on config.enabled and a built matcher
+  (redaction.service.ts:59-61); empty/absent ``keys`` → redact all
+  strings, else the keyed walk (:63-67);
+* the keyed walk still redacts raw strings encountered OUTSIDE the key
+  set (redaction.service.ts:91-95) — behaviorally identical to
+  redact-all for string leaves; ``keys`` only forces non-string
+  subtrees through the redact-all treatment. Preserved verbatim.
+
+The flat Spark pipeline uses :func:`redact_text` per turn; the tree
+walkers exist for nested payload ingestion (from_json → explode) and to
+pin parity against the reference's e2e snapshots.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from .matcher import Matcher
+from .scanner import redact_generic
+
+
+@dataclass(frozen=True)
+class RedactionConfig:
+    """Mirror of the reference's RedactionOptions (src/config/types.ts:13-18)."""
+
+    enabled: bool = False
+    keys: tuple[str, ...] = field(default_factory=tuple)
+    verbose_audit: bool = False
+
+
+def load_dictionary_lines(text: str) -> list[str]:
+    """Newline-split, trim, drop empties (redaction.service.ts:159-163)."""
+    return [line for line in (ln.strip() for ln in text.split("\n")) if line]
+
+
+def redact_text(s: str, matcher: Matcher) -> str:
+    """Generic scan then dictionary redaction (redaction.service.ts:72-73)."""
+    return matcher.redact(redact_generic(s))
+
+
+def redact_all_strings(data: Any, matcher: Matcher) -> Any:
+    """Recursive walk redacting every string leaf (redaction.service.ts:70-86)."""
+    if isinstance(data, str):
+        return redact_text(data, matcher)
+    if isinstance(data, list):
+        return [redact_all_strings(item, matcher) for item in data]
+    if isinstance(data, dict):
+        return {k: redact_all_strings(v, matcher) for k, v in data.items()}
+    return data
+
+
+def redact_by_keys(data: Any, keys: list[str] | tuple[str, ...], matcher: Matcher) -> Any:
+    """Keyed walk (redaction.service.ts:88-119). Non-key strings are STILL
+    redacted (quirk preserved — see module docstring)."""
+    key_set = set(keys)
+
+    def walk(obj: Any) -> Any:
+        if isinstance(obj, str):
+            return redact_text(obj, matcher)
+        if isinstance(obj, list):
+            return [walk(item) for item in obj]
+        if isinstance(obj, dict):
+            result = {}
+            for k, v in obj.items():
+                if k in key_set:
+                    if isinstance(v, str):
+                        result[k] = redact_text(v, matcher)
+                    else:
+                        result[k] = redact_all_strings(v, matcher)
+                else:
+                    result[k] = walk(v)
+            return result
+        return obj
+
+    return walk(data)
+
+
+def redact_response(
+    data: Any, config: RedactionConfig | None, matcher: Matcher | None
+) -> Any:
+    """Top-level gate (redaction.service.ts:58-68)."""
+    if config is None or not config.enabled or matcher is None:
+        return data
+    if not config.keys:
+        return redact_all_strings(data, matcher)
+    return redact_by_keys(data, config.keys, matcher)

@@ -1,0 +1,136 @@
+"""Ported assertions from /root/reference/src/redaction/matcher.spec.ts."""
+
+import pytest
+
+from gs_mcp_proxy_pii_redactor_spark.kernel import Matcher
+
+
+def test_build_valid():
+    assert Matcher.build(["john", "jane", "doe"]) is not None
+
+
+def test_build_empty_raises():
+    with pytest.raises(ValueError, match="Empty dictionary for matcher"):
+        Matcher.build([])
+
+
+CASES = [
+    # (dictionary, input, expected) — matcher.spec.ts:17-191
+    (["secret"], "This is a secret message", "This is a [REDACTED] message"),
+    (["john", "jane"], "john and jane are here", "[REDACTED] and [REDACTED] are here"),
+    (["secret"], "SECRET message", "[REDACTED] message"),
+    (["secret"], "Secret message", "[REDACTED] message"),
+    (["secret"], "secret message", "[REDACTED] message"),
+    (["secret"], "SeCrEt message", "[REDACTED] message"),
+    (["cat"], "The cat is here", "The [REDACTED] is here"),
+    (["cat"], "catalog", "catalog"),
+    (["cat"], "bobcat", "bobcat"),
+    (["cat"], "scat", "scat"),
+    (["test"], "test.", "[REDACTED]."),
+    (["test"], "test,", "[REDACTED],"),
+    (["test"], "test!", "[REDACTED]!"),
+    (["test"], "test?", "[REDACTED]?"),
+    (["test"], "(test)", "([REDACTED])"),
+    (["test"], '"test"', '"[REDACTED]"'),
+    (["name"], "first-name", "first-[REDACTED]"),
+    (["name"], "name-suffix", "[REDACTED]-suffix"),
+    (["name"], "my name here", "my [REDACTED] here"),
+    (["test"], "test test test", "[REDACTED] [REDACTED] [REDACTED]"),
+    (["john doe", "doe"], "john doe is here", "[REDACTED] is here"),
+    (["secret"], "This is a normal message", "This is a normal message"),
+    (["test"], "", ""),
+    (["secret"], "secret", "[REDACTED]"),
+    (["start"], "start of the message", "[REDACTED] of the message"),
+    (["end"], "message at the end", "message at the [REDACTED]"),
+    (["john smith", "jane doe"], "john smith and jane doe are here",
+     "[REDACTED] and [REDACTED] are here"),
+    (["o'brien", "test-user"], "Mr. o'brien is here", "Mr. [REDACTED] is here"),
+    (["o'brien", "test-user"], "User test-user logged in",
+     "User [REDACTED] logged in"),
+    (["abc", "def"], "abc def", "[REDACTED] [REDACTED]"),
+    (["user"], "user_name", "user_name"),
+    (["user"], "user123", "user123"),
+    (["user"], "the user 123", "the [REDACTED] 123"),
+    (["test"], "TEST test TeSt", "[REDACTED] [REDACTED] [REDACTED]"),
+    (["work"], "homework", "homework"),
+    (["work"], "eworker", "eworker"),
+    (["work"], "my work here", "my [REDACTED] here"),
+]
+
+
+@pytest.mark.parametrize("dictionary,inp,expected", CASES)
+def test_redact(dictionary, inp, expected):
+    assert Matcher.build(dictionary).redact(inp) == expected
+
+
+def test_large_dictionary():
+    # matcher.spec.ts:147-153
+    dictionary = [f"term{i}" for i in range(1000)]
+    m = Matcher.build(dictionary)
+    assert (m.redact("This contains term500 and term999")
+            == "This contains [REDACTED] and [REDACTED]")
+
+
+def test_long_text():
+    # matcher.spec.ts:155-163
+    m = Matcher.build(["secret"])
+    long_text = "word " * 1000 + "secret " + "word " * 1000
+    out = m.redact(long_text)
+    assert "[REDACTED]" in out
+    assert "secret" not in out
+
+
+def test_dedup_and_case_normalization_at_build():
+    # matcher.ts:17-25: lowercase + dedup + drop empty
+    m = Matcher.build(["Secret", "SECRET", "", "secret"])
+    assert m.patterns == ["secret"]
+
+
+def test_overlapping_multiword_merge():
+    # find-all semantics: ["a b", "b c"] over "a b c" must merge to ONE
+    # interval (regex leftmost-only scanning would wrongly leave " c").
+    m = Matcher.build(["a b", "b c"])
+    assert m.redact("a b c") == "[REDACTED]"
+    assert m.redact("x a b c y") == "x [REDACTED] y"
+
+
+def test_adjacent_touching_intervals_merge():
+    # matcher.ts:61: new interval only when start > last.end, so touching
+    # intervals [a,b)+[b,c) merge into one [REDACTED].
+    m = Matcher.build(["ab-", "-cd"])
+    # "ab--cd": "ab-" at [0,3), "-cd" at [3,7)? text is 6 chars: a b - - c d
+    # "ab-" = [0,3), "-cd" = [3,6) → touching → single [REDACTED]
+    assert m.redact("ab--cd") == "[REDACTED]"
+
+
+def test_contained_match_absorbed():
+    m = Matcher.build(["john doe", "doe"])
+    assert m.redact("see john doe.") == "see [REDACTED]."
+
+
+def test_fast_and_exact_paths_agree():
+    # The ASCII regex fast path and the exact indexOf transliteration must
+    # produce identical merged intervals on a grid of tricky inputs.
+    dicts = [
+        ["a b", "b c"], ["john doe", "doe"], ["cat"], ["test"],
+        ["o'brien", "test-user"], ["ab-", "-cd"], ["a", "a a"],
+    ]
+    texts = [
+        "a b c", "a b c a b", "john doe doe john", "catalog cat cats",
+        "test-user o'brien test", "ab--cd ab- -cd", "a a a a", "",
+        "x" * 50 + " a b c " + "y" * 50,
+    ]
+    for d in dicts:
+        m = Matcher.build(d)
+        for t in texts:
+            fast = m._merged_intervals_fast(t.lower()) if m._fast_re else None
+            exact = m._merged_intervals_exact(t, t.lower())
+            assert fast == exact, (d, t, fast, exact)
+
+
+def test_non_ascii_falls_back_and_matches():
+    m = Matcher.build(["müller"])
+    assert m.redact("Herr Müller kam") == "Herr [REDACTED] kam"
+    # non-ASCII text with ASCII dict still correct
+    m2 = Matcher.build(["secret"])
+    assert m2.redact("das secret ist geheim ü") == "das [REDACTED] ist geheim ü"

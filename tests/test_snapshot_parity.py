@@ -1,0 +1,115 @@
+"""Byte-parity against the reference e2e snapshots.
+
+Inputs from /root/reference/e2e/redaction.e2e-spec.ts:23-96, expected
+outputs from e2e/__snapshots__/redaction.e2e-spec.ts.snap — the exact
+bytes the reference service produces with the seeded dictionary
+['Romario', 'GaryPratt', 'Chieh'].
+"""
+
+import pytest
+
+from gs_mcp_proxy_pii_redactor_spark.kernel import (
+    Matcher,
+    RedactionConfig,
+    redact_response,
+    redact_all_strings,
+)
+
+DICT = ["Romario", "GaryPratt", "Chieh"]
+
+
+@pytest.fixture(scope="module")
+def matcher():
+    return Matcher.build(DICT)
+
+
+def test_plain_string_generic(matcher):
+    # snap:23
+    inp = ("Email me at foo.bar+test@example.com or at user@example.co.uk, "
+           "call +1 (650) 555-1234 or +972 52-353-1234.")
+    expected = ("Email me at [REDACTED] or at [REDACTED], "
+                "call +1 (650) 555-1234 or [REDACTED]")
+    assert redact_all_strings(inp, matcher) == expected
+
+
+def test_redact_by_keys_snapshot(matcher):
+    # redaction.e2e-spec.ts:33-57 → snap:3-21
+    payload = {
+        "summary": "Case for Romario",
+        "description": (
+            "Email: foo.bar+test@example.com, Phone: +1 (650) 555-1234. "
+            "Hello Romario and GaryPratt. abc123456123 should not be redacted."
+        ),
+        "text": "Contact at user@example.co.uk and +972 52-353-1234 and Chieh",
+        "href": "mailto:someone@example.com",
+        "other": (
+            "This other field has user@example.com and +1-212-555-0987 "
+            "but may be affected by traversal."
+        ),
+        "nested": {"note": "Romario is in nested note with email a.b@example.com"},
+        "list": [
+            "GaryPratt appears here",
+            {"inner": "Call me at +44 20 7946 0958"},
+            "no pii",
+        ],
+    }
+    expected = {
+        "summary": "Case for [REDACTED]",
+        "description": (
+            "Email: [REDACTED], Phone: +1 (650) 555-1234. "
+            "Hello [REDACTED] and [REDACTED]. abc123456123 should not be redacted."
+        ),
+        "text": "Contact at [REDACTED] and +972 52-353-1234 and [REDACTED]",
+        "href": "mailto:[REDACTED]",
+        "other": (
+            "This other field has [REDACTED] and +1-212-555-0987 "
+            "but may be affected by traversal."
+        ),
+        "nested": {"note": "[REDACTED] is in nested note with email [REDACTED]"},
+        "list": [
+            "[REDACTED] appears here",
+            {"inner": "Call me at [REDACTED]"},
+            "no pii",
+        ],
+    }
+    cfg = RedactionConfig(enabled=True, keys=("description", "text", "href"))
+    assert redact_response(payload, cfg, matcher) == expected
+
+
+def test_redact_all_strings_snapshot(matcher):
+    # redaction.e2e-spec.ts:60-73 → snap:25-34
+    payload = {
+        "title": "Hello Romario",
+        "body": "Email: x@y.z, phone: +1-202-555-0199, and Chieh mentioned.",
+        "meta": {"href": "mailto:test@example.com", "text": "GaryPratt present"},
+    }
+    expected = {
+        "title": "Hello [REDACTED]",
+        "body": "Email: x@y.z, phone: [REDACTED], and [REDACTED] mentioned.",
+        "meta": {"href": "mailto:[REDACTED]", "text": "[REDACTED] present"},
+    }
+    cfg = RedactionConfig(enabled=True)
+    assert redact_response(payload, cfg, matcher) == expected
+
+
+def test_disabled_returns_original(matcher):
+    # redaction.e2e-spec.ts:76-85
+    payload = {"text": "Romario user@example.com +1-212-555-0987"}
+    cfg = RedactionConfig(enabled=False, keys=("text",))
+    assert redact_response(payload, cfg, matcher) == payload
+
+
+def test_no_matcher_returns_original():
+    # redaction.e2e-spec.ts:87-96 (uninitialized matcher → identity)
+    payload = {"text": "Romario user@example.com +1-212-555-0987"}
+    cfg = RedactionConfig(enabled=True, keys=("text",))
+    assert redact_response(payload, cfg, None) == payload
+
+
+def test_non_string_leaves_untouched(matcher):
+    # redaction.service.spec.ts behavior: numbers/booleans/null pass through
+    payload = {"n": 12345678901, "f": 1.5, "b": True, "z": None,
+               "arr": [1, "Chieh", False]}
+    out = redact_response(payload, RedactionConfig(enabled=True), matcher)
+    assert out == {"n": 12345678901, "f": 1.5, "b": True, "z": None,
+                   "arr": [1, "[REDACTED]", False]}
