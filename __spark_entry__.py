@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship scrub+quality-filter pipeline over a
+transcript table synthesized deterministically from sf0.001 documents;
+``queries()`` exposes the operator inventory (SURVEY.md §2) and
+``oracle_sql()`` the DuckDB-equivalent SQL for every SQL-expressible one.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize transcripts from sf0.001 → full scrub +
+    langid + perplexity + quality keep/drop pipeline."""
+    from gs_mcp_proxy_pii_redactor_spark.plans import ScrubJobConfig, build_pipeline
+    from gs_mcp_proxy_pii_redactor_spark.sources import (
+        PARITY_DICTIONARY,
+        synthesize_transcripts,
+    )
+
+    transcripts = synthesize_transcripts(spark, SF0001, turns_per_doc=4)
+    cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
+    result = build_pipeline(spark, transcripts, cfg)
+    return result.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "text_scrubbed",
+        "lang",
+        "lang_conf",
+        "ppl",
+        "n_chars",
+        "n_tokens",
+        "keep",
+        "drop_reasons",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,144 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline: the flagship scrub+filter pipeline (turns/sec is the north
+metric) over a transcript table synthesized deterministically from the
+SF's documents, plus representative operators from SURVEY.md §2.
+
+Env:
+  SPARK_GRAFT_SF_DIR   input SF dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] (default 32)
+  BENCH_TURNS_PER_DOC  transcript fan-out (default 50 → 250k turns @ sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TURNS_PER_DOC = int(os.environ.get("BENCH_TURNS_PER_DOC", "50"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gs-pii-redactor-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def run_bench(spark, sf_dir: str, turns_per_doc: int = TURNS_PER_DOC):
+    """Returns (per-query seconds dict, extras dict)."""
+    from pyspark.sql import functions as F
+
+    from gs_mcp_proxy_pii_redactor_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        simhash,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.plans import (
+        ScrubJobConfig,
+        build_pipeline,
+        conv_stats,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import (
+        q01_pricing_summary,
+        q04_dict_redact,
+        q10_first_events,
+        q12_fingerprint_dedup,
+        q13_knn_bruteforce,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.sources import (
+        PARITY_DICTIONARY,
+        synthesize_transcripts,
+    )
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # Materialize the synthetic transcript input once (parquet, like the
+    # real table) so the scrub benchmark measures the pipeline, not synth.
+    tmp = f"/tmp/bench_transcripts_{os.getpid()}"
+    transcripts = synthesize_transcripts(spark, sf_dir, turns_per_doc)
+    transcripts.write.mode("overwrite").parquet(tmp)
+    tdf = spark.read.parquet(tmp)
+    n_turns = tdf.count()
+    extras["n_turns"] = n_turns
+
+    cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
+
+    def scrub_run():
+        result = build_pipeline(spark, tdf, cfg)
+        # force full evaluation of scrubbed text + rules without sink IO
+        return result.agg(
+            F.sum(F.col("keep").cast("long")),
+            F.sum(F.length("text_scrubbed")),
+            F.sum("ppl"),
+        ).collect()
+
+    timed("scrub_pipeline", scrub_run)
+    extras["turns_per_sec"] = round(n_turns / timings["scrub_pipeline"], 1)
+
+    timed("conv_stats_salted", lambda: conv_stats(
+        build_pipeline(spark, tdf, cfg)
+    ).agg(F.sum("n_turns"), F.sum("n_keep")).collect())
+
+    timed("q01_pricing_summary", lambda: q01_pricing_summary(spark, sf_dir).collect())
+    timed("q04_dict_redact", lambda: q04_dict_redact(spark, sf_dir)
+          .agg(F.sum(F.length("text_scrubbed"))).collect())
+    timed("q10_first_events", lambda: q10_first_events(spark, sf_dir).count())
+    timed("q12_fingerprint_dedup", lambda: q12_fingerprint_dedup(spark, sf_dir).count())
+    timed("q13_knn_bruteforce", lambda: q13_knn_bruteforce(spark, sf_dir).collect())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("minhash_pairs_docs", lambda: minhash_candidate_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    ).count())
+    timed("simhash_docs", lambda: simhash(docs, "doc_id", "text")
+          .agg(F.bit_xor("simhash")).collect())
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return timings, extras
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings, extras = run_bench(spark, SF_DIR)
+    total = round(sum(timings.values()), 3)
+    line = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        **extras,
+    }
+    print(json.dumps(line))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

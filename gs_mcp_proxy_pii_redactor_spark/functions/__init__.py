@@ -1,0 +1,36 @@
+"""Vectorized UDFs and native-expression function surface."""
+
+from .langid import detect_language
+from .perplexity import char_perplexity
+from .pii_extended import EXTENDED_PII_PATTERNS, extended_pii_hits, scrub_extended_pii
+from .quality import QualityConfig, feature_columns, rule_predicates, with_quality_columns
+from .udfs import (
+    ANALYZE_SCHEMA,
+    dictionary_fingerprint,
+    make_analyze_udf,
+    make_dict_scrub_udf,
+    make_generic_scrub_udf,
+    make_langid_udf,
+    make_perplexity_udf,
+    make_scrub_udf,
+)
+
+__all__ = [
+    "detect_language",
+    "char_perplexity",
+    "EXTENDED_PII_PATTERNS",
+    "extended_pii_hits",
+    "scrub_extended_pii",
+    "QualityConfig",
+    "feature_columns",
+    "rule_predicates",
+    "with_quality_columns",
+    "ANALYZE_SCHEMA",
+    "dictionary_fingerprint",
+    "make_analyze_udf",
+    "make_dict_scrub_udf",
+    "make_generic_scrub_udf",
+    "make_langid_udf",
+    "make_perplexity_udf",
+    "make_scrub_udf",
+]

@@ -1,0 +1,129 @@
+"""Deterministic, self-contained language identification.
+
+North-star extension (BASELINE.json: "fastText language identification ...
+inside vectorized pandas/Arrow UDFs"). The fasttext wheel is not available
+in this environment, so this is a hand-rolled, fully deterministic
+classifier in the same spirit: character-script detection for CJK/Cyrillic
+plus a linear stopword/diacritic scorer for Latin-script languages. All
+model parameters are embedded below (public-knowledge stopword lists) —
+no external model files, no randomness.
+
+Accuracy target is corpus triage (the quality_filter tier), not SOTA
+langid; the scorer is exact and stable across runs/executors.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Public-knowledge high-frequency word lists (top function words).
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset(
+        "the and of to a in is you that it for with on as are this be at "
+        "have not we was from by or an but they which one all their there "
+        "what so more when can no just him know take into your some could "
+        "them see other than then now only its over also after use two how "
+        "our work well way even new want because any these give day most us".split()
+    ),
+    "de": frozenset(
+        "der die das und ist nicht mit ein eine zu den von sie ich des auf "
+        "für im dem sich ein als auch es an werden aus er hat dass war wie "
+        "wir man aber noch nach bei einer um am sind einem über einen so "
+        "zum kann durch wenn nur war haben mehr wird sein ihre dann unter".split()
+    ),
+    "fr": frozenset(
+        "le la les de des un une et est que qui dans pour pas sur avec au "
+        "ce il ne je son se plus pouvoir par ou leur si deux comme mais "
+        "nous vous ils elle être avoir faire tout aux même aussi bien où "
+        "sans peut cette ces notre votre dont quand très sont était fait".split()
+    ),
+    "es": frozenset(
+        "el la los las de que y en un una es no por con para su al lo "
+        "como más pero sus le ya o este sí porque esta entre cuando muy "
+        "sin sobre también me hasta hay donde quien desde todo nos durante "
+        "todos uno les ni contra otros ese eso ante ellos e esto mí antes".split()
+    ),
+    "it": frozenset(
+        "il lo la i gli le di a da in con su per tra fra che e non un una "
+        "sono è del della dei delle al alla ai alle nel nella come più ma "
+        "anche se questo questa questi quando chi cui ci vi si io tu lui lei".split()
+    ),
+    "pt": frozenset(
+        "o a os as de que e do da em um uma para com não por mais se como "
+        "mas foi ao ele das tem à seu sua ou ser quando muito há nos já "
+        "está eu também só pelo pela até isso ela entre era depois sem".split()
+    ),
+    "nl": frozenset(
+        "de het een en van ik te dat die in je niet zijn is was op aan met "
+        "als voor had er maar om hem dan zou of wat mijn men dit zo door "
+        "over ze zich bij ook tot uit naar want nog zal me zij nu ge geen".split()
+    ),
+}
+
+_LANGS = tuple(_STOPWORDS)
+
+# Diacritic hints (weight is lower than a stopword hit).
+_DIACRITICS: dict[str, str] = {
+    "de": "äöüß",
+    "fr": "àâçéèêëîïôùûœ",
+    "es": "áéíóúñ¿¡",
+    "pt": "ãõáâçéêíóôú",
+    "it": "àèéìòù",
+}
+
+_WORD_RE = re.compile(r"[a-zà-öø-ÿœ]+")
+
+_DIACRITIC_WEIGHT = 0.3
+UNKNOWN = "und"
+
+
+def _script_counts(text: str) -> tuple[int, int, int]:
+    """Count (cjk, cyrillic, total-non-space) code points, sampled."""
+    cjk = cyr = total = 0
+    for ch in text:
+        if ch.isspace():
+            continue
+        total += 1
+        o = ord(ch)
+        if 0x4E00 <= o <= 0x9FFF or 0x3040 <= o <= 0x30FF or 0xF900 <= o <= 0xFAFF:
+            cjk += 1
+        elif 0x0400 <= o <= 0x04FF:
+            cyr += 1
+    return cjk, cyr, total
+
+
+def detect_language(text: str | None, max_chars: int = 1000) -> tuple[str, float]:
+    """Return ``(lang, confidence)`` for one document. Deterministic."""
+    if not text:
+        return (UNKNOWN, 0.0)
+    sample = text[:max_chars]
+
+    cjk, cyr, total = _script_counts(sample)
+    if total == 0:
+        return (UNKNOWN, 0.0)
+    if cjk / total >= 0.25:
+        return ("zh", min(1.0, cjk / total + 0.5))
+    if cyr / total >= 0.25:
+        return ("ru", min(1.0, cyr / total + 0.5))
+
+    lower = sample.lower()
+    scores = dict.fromkeys(_LANGS, 0.0)
+    n_tokens = 0
+    for m in _WORD_RE.finditer(lower):
+        tok = m.group()
+        n_tokens += 1
+        for lang in _LANGS:
+            if tok in _STOPWORDS[lang]:
+                scores[lang] += 1.0
+    for lang, chars in _DIACRITICS.items():
+        hits = sum(lower.count(c) for c in chars)
+        if hits:
+            scores[lang] += _DIACRITIC_WEIGHT * hits
+
+    # Deterministic argmax: ties broken by language-code order.
+    best = max(sorted(scores), key=lambda k: scores[k])
+    total_score = sum(scores.values())
+    if total_score == 0.0 or n_tokens == 0:
+        return (UNKNOWN, 0.0)
+    conf = scores[best] / (total_score + 1e-9)
+    return (best, round(min(1.0, conf), 4))

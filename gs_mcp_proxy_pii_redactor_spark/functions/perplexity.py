@@ -1,0 +1,76 @@
+"""KenLM-style n-gram perplexity scoring — deterministic, self-contained.
+
+North-star extension (BASELINE.json: "KenLM-style n-gram perplexity
+scoring (numpy)"). The kenlm wheel and external ARPA model files are
+unavailable in this sandbox, so this module trains a character-bigram LM
+with interpolated add-k smoothing over a small embedded seed corpus at
+import time (fully deterministic), and scores batches with a vectorized
+numpy table lookup.
+
+Perplexity here is a *relative* quality signal for the filter rules
+(gibberish / encoding noise scores high), not a calibrated LM benchmark.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Small embedded seed corpus: generic English prose, public-knowledge
+# pangrams and common phrases. ~2 KB is enough for a stable char bigram LM.
+_SEED_CORPUS = (
+    "the quick brown fox jumps over the lazy dog. "
+    "a journey of a thousand miles begins with a single step. "
+    "to be or not to be that is the question. "
+    "all happy families are alike; each unhappy family is unhappy in its own way. "
+    "it was the best of times, it was the worst of times. "
+    "in the beginning there was data, and the data was without form. "
+    "we hold these truths to be self evident that all models are wrong "
+    "but some are useful. the rain in spain stays mainly in the plain. "
+    "pack my box with five dozen liquor jugs. how vexingly quick daft "
+    "zebras jump. the five boxing wizards jump quickly. "
+    "please call me back when you get this message, thanks. "
+    "here is the summary of the report you asked for yesterday. "
+    "the system processes each request and returns a response to the user. "
+    "language models assign probabilities to sequences of words. "
+    "the conversation between the user and the assistant continued for "
+    "several turns, covering questions, answers, and tool calls. "
+    "data pipelines read records, transform them, and write the results. "
+    "quality filtering removes documents that are too short, repetitive, "
+    "or full of symbols and boilerplate text. "
+) * 2
+
+_VOCAB = 128  # ASCII table; non-ASCII folds to a single OOV bucket (127)
+_ADD_K = 0.05
+
+
+def _train() -> np.ndarray:
+    """Return log-prob table T[prev, cur] = log P(cur | prev)."""
+    counts = np.full((_VOCAB, _VOCAB), _ADD_K, dtype=np.float64)
+    data = _SEED_CORPUS.lower().encode("ascii", "replace")
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    arr = np.where(arr < _VOCAB, arr, _VOCAB - 1)
+    np.add.at(counts, (arr[:-1], arr[1:]), 1.0)
+    return np.log(counts / counts.sum(axis=1, keepdims=True))
+
+
+_LOG_PROB = _train()
+
+
+def char_perplexity(text: str | None, max_chars: int = 2000) -> float:
+    """Per-character bigram perplexity of ``text`` (lowercased, ASCII-folded)."""
+    if not text or len(text) < 2:
+        return 0.0
+    data = text[:max_chars].lower().encode("ascii", "replace")
+    if len(data) < 2:
+        return 0.0
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    arr = np.where(arr < _VOCAB, arr, _VOCAB - 1)
+    lp = _LOG_PROB[arr[:-1], arr[1:]]
+    return float(np.exp(-lp.mean()))
+
+
+def batch_char_perplexity(texts, max_chars: int = 2000) -> np.ndarray:
+    """Vectorized-ish batch scoring (one table lookup per row)."""
+    return np.array(
+        [char_perplexity(t, max_chars) for t in texts], dtype=np.float64
+    )

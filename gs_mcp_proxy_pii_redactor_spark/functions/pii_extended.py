@@ -1,0 +1,67 @@
+"""Extended PII detectors: SSNs, credit cards, API keys, IPs, IBANs.
+
+North-star additions (BASELINE.json: "the proxy's compiled-regex PII
+detectors (emails, phones, SSNs, API keys, credit cards, named-entity
+patterns) ... batched regexp replacement"). The reference itself only
+detects emails/phones/dictionary terms (verified — SURVEY.md §2.8), so
+these stages run AFTER the byte-parity stages and never touch the parity
+fixtures.
+
+All stages are native ``regexp_replace`` column expressions (JVM-side,
+Java regex). Order matters: more specific patterns run first so that a
+JWT isn't half-eaten by the generic hex rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+REDACTED = "[REDACTED]"
+
+# name → Java regex (applied with regexp_replace, global).
+EXTENDED_PII_PATTERNS: dict[str, str] = {
+    # US Social Security Number 123-45-6789 (not inside longer digit runs)
+    "ssn": r"(?<![0-9-])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9-])",
+    # Credit-card-like 4x4 groups with space/dash separators, plus bare 16
+    "credit_card": r"(?<![0-9])(?:[0-9]{4}[ -]){3}[0-9]{4}(?![0-9])",
+    # JSON Web Token
+    "jwt": r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\b",
+    # Common API-key shapes (OpenAI/Stripe-style, AWS, GitHub, Slack, Google)
+    "api_key_sk": r"\bsk-[A-Za-z0-9_-]{16,}\b",
+    "api_key_aws": r"\bAKIA[0-9A-Z]{16}\b",
+    "api_key_github": r"\bgh[pousr]_[A-Za-z0-9]{30,}\b",
+    "api_key_slack": r"\bxox[baprs]-[A-Za-z0-9-]{10,}\b",
+    "api_key_google": r"\bAIza[0-9A-Za-z_-]{35}\b",
+    # IPv4 (component-bounded to avoid matching version strings loosely)
+    "ipv4": (
+        r"(?<![0-9.])(?:(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(?![0-9.])"
+    ),
+    # IBAN (two letters, two digits, 11-30 alnum)
+    "iban": r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b",
+}
+
+
+def scrub_extended_pii(
+    col: Column | str,
+    patterns: dict[str, str] | None = None,
+    replacement: str = REDACTED,
+) -> Column:
+    """Chain of regexp_replace stages over ``col`` (JVM-side)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for regex in (patterns or EXTENDED_PII_PATTERNS).values():
+        out = F.regexp_replace(out, regex, replacement)
+    return out
+
+
+def extended_pii_hits(col: Column | str) -> Column:
+    """Array of extended-PII rule names that hit (for audit/metrics)."""
+    src = F.col(col) if isinstance(col, str) else col
+    tagged = F.array(
+        *[
+            F.when(src.rlike(regex), F.lit(name))
+            for name, regex in EXTENDED_PII_PATTERNS.items()
+        ]
+    )
+    return F.filter(tagged, lambda x: x.isNotNull())

@@ -1,0 +1,144 @@
+"""Heuristic quality rules as native Catalyst expressions (no UDFs).
+
+North-star requirement (BASELINE.json): "heuristic quality rules (length,
+repetition, symbol ratio, role/tool consistency) ... re-expressed as
+Spark SQL expressions". Everything here stays JVM-side inside
+whole-stage codegen — the Python boundary is crossed only by the fused
+scrub/langid/ppl UDF (functions/udfs.py).
+
+Each rule contributes a named drop reason; ``keep`` is the conjunction.
+The rule catalogue mirrors a web-scale training-data quality filter
+(Gopher/C4-style heuristics) applied per transcript turn.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VALID_ROLES = ("user", "assistant", "system", "tool")
+
+
+@dataclass(frozen=True)
+class QualityConfig:
+    """Thresholds for the per-turn quality rules."""
+
+    min_chars: int = 2
+    max_chars: int = 100_000
+    min_tokens: int = 1
+    max_tokens: int = 50_000
+    min_alpha_ratio: float = 0.10
+    max_digit_ratio: float = 0.60
+    max_symbol_ratio: float = 0.60
+    max_word_rep_ratio: float = 0.90
+    max_word_len: int = 200
+    max_ppl: float | None = 500.0
+    min_lang_conf: float | None = None
+    allowed_langs: tuple[str, ...] | None = None
+    valid_roles: tuple[str, ...] = VALID_ROLES
+    enforce_tool_consistency: bool = True
+
+
+def feature_columns(text: Column) -> dict[str, Column]:
+    """Cheap JVM-side text features used by the rules and metrics."""
+    n_chars = F.length(text)
+    # strip classes via regexp_replace and length-diff — codegen-friendly
+    n_alpha = n_chars - F.length(F.regexp_replace(text, "[A-Za-z]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(text, r"\s", ""))
+    n_symbol = n_chars - n_alpha - n_digit - n_space
+    tokens = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+    n_tokens = F.size(tokens)
+    safe = F.greatest(n_chars, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": (n_alpha / safe),
+        "digit_ratio": (n_digit / safe),
+        "symbol_ratio": (n_symbol / safe),
+        "word_rep_ratio": F.when(
+            n_tokens > 0,
+            1.0 - F.size(F.array_distinct(tokens)) / n_tokens.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        "max_word_len": F.coalesce(
+            F.array_max(F.transform(tokens, F.length)), F.lit(0)
+        ),
+    }
+
+
+def rule_predicates(
+    cfg: QualityConfig,
+    *,
+    text_col: str = "text",
+    role_col: str | None = "role",
+    tool_col: str | None = "tool",
+    lang_col: str | None = None,
+    lang_conf_col: str | None = None,
+    ppl_col: str | None = None,
+) -> dict[str, Column]:
+    """Map rule-name → pass-predicate (True = keep). Null text fails."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    feats = feature_columns(text)
+    rules: dict[str, Column] = {
+        "too_short": feats["n_chars"] >= cfg.min_chars,
+        "too_long": feats["n_chars"] <= cfg.max_chars,
+        "too_few_tokens": feats["n_tokens"] >= cfg.min_tokens,
+        "too_many_tokens": feats["n_tokens"] <= cfg.max_tokens,
+        "low_alpha_ratio": feats["alpha_ratio"] >= cfg.min_alpha_ratio,
+        "high_digit_ratio": feats["digit_ratio"] <= cfg.max_digit_ratio,
+        "high_symbol_ratio": feats["symbol_ratio"] <= cfg.max_symbol_ratio,
+        "repetitive": feats["word_rep_ratio"] <= cfg.max_word_rep_ratio,
+        "long_word": feats["max_word_len"] <= cfg.max_word_len,
+    }
+    if role_col is not None:
+        rules["invalid_role"] = F.col(role_col).isin(*cfg.valid_roles)
+        if tool_col is not None and cfg.enforce_tool_consistency:
+            # tool is non-null iff role == 'tool'
+            rules["tool_inconsistent"] = (
+                (F.col(role_col) == "tool") == F.col(tool_col).isNotNull()
+            )
+    if ppl_col is not None and cfg.max_ppl is not None:
+        rules["high_perplexity"] = F.coalesce(
+            F.col(ppl_col) <= cfg.max_ppl, F.lit(False)
+        )
+    if lang_col is not None and cfg.allowed_langs is not None:
+        rules["disallowed_lang"] = F.col(lang_col).isin(*cfg.allowed_langs)
+    if lang_conf_col is not None and cfg.min_lang_conf is not None:
+        rules["low_lang_conf"] = F.coalesce(
+            F.col(lang_conf_col) >= cfg.min_lang_conf, F.lit(False)
+        )
+    return rules
+
+
+def with_quality_columns(
+    df: DataFrame,
+    cfg: QualityConfig | None = None,
+    *,
+    text_col: str = "text",
+    include_features: bool = True,
+    **rule_kwargs,
+) -> DataFrame:
+    """Append feature columns plus ``keep`` / ``drop_reasons``.
+
+    ``drop_reasons`` is an array of failed rule names (empty when keep);
+    built entirely from native expressions (array + filter), so the whole
+    rule stage stays in whole-stage codegen.
+    """
+    cfg = cfg or QualityConfig()
+    if include_features:
+        text = F.coalesce(F.col(text_col), F.lit(""))
+        for name, col in feature_columns(text).items():
+            df = df.withColumn(name, col)
+    rules = rule_predicates(cfg, text_col=text_col, **rule_kwargs)
+    reason_array = F.array(
+        *[
+            F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
+            for name, pred in rules.items()
+        ]
+    )
+    df = df.withColumn(
+        "drop_reasons", F.filter(reason_array, lambda x: x.isNotNull())
+    )
+    return df.withColumn("keep", F.size(F.col("drop_reasons")) == 0)

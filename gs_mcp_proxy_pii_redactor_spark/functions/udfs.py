@@ -1,0 +1,190 @@
+"""Vectorized pandas/Arrow UDFs wrapping the redaction kernel.
+
+Design (SURVEY.md §2.8, §4.2):
+
+* scalar pandas UDFs (Arrow batch transfer) — never row-at-a-time Python
+  UDFs;
+* the dictionary travels to executors once (Spark broadcast, or closure
+  capture for small dicts) and the Matcher automaton/regex is built once
+  per Python worker via a module-level memo keyed by a content
+  fingerprint (reference analogue: Matcher built once at service init,
+  src/redaction/redaction.service.ts:35);
+* ``analyze_text`` fuses scrub + language-ID + perplexity into ONE UDF
+  returning a struct, so the JVM→Python Arrow round trip happens once
+  per batch instead of three times.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.matcher import Matcher
+from ..kernel.scanner import redact_generic
+from .langid import detect_language
+from .perplexity import char_perplexity
+
+# Per-Python-worker matcher memo: {fingerprint: Matcher}. Workers are
+# long-lived (spark.python.worker.reuse defaults true), so each executor
+# builds the automaton once per dictionary version.
+_MATCHER_CACHE: dict[str, Matcher] = {}
+
+# Dictionaries up to this many terms are shipped in the UDF closure;
+# larger ones must use an explicit SparkContext broadcast.
+_CLOSURE_DICT_LIMIT = 10_000
+
+
+def dictionary_fingerprint(patterns: Sequence[str]) -> str:
+    h = hashlib.sha1()
+    for p in patterns:
+        h.update(p.encode("utf-8", "surrogatepass"))
+        h.update(b"\x00")
+    return h.hexdigest()
+
+
+def _matcher_for(fingerprint: str, patterns: Sequence[str]) -> Matcher:
+    m = _MATCHER_CACHE.get(fingerprint)
+    if m is None:
+        m = Matcher.build(list(patterns))
+        _MATCHER_CACHE[fingerprint] = m
+    return m
+
+
+def _resolve(spark, patterns: Sequence[str]):
+    """Return (fingerprint, broadcast-or-None, closure-patterns-or-None)."""
+    pats = tuple(patterns)
+    fp = dictionary_fingerprint(pats)
+    if spark is not None and len(pats) > _CLOSURE_DICT_LIMIT:
+        return fp, spark.sparkContext.broadcast(pats), None
+    return fp, None, pats
+
+
+def make_scrub_udf(patterns: Sequence[str], spark=None):
+    """Pandas UDF: generic scan then dictionary redaction per turn
+    (pipeline order per reference redaction.service.ts:72-73)."""
+    fp, bc, closure_pats = _resolve(spark, patterns)
+
+    @F.pandas_udf(StringType())
+    def scrub_text(texts: pd.Series) -> pd.Series:
+        pats = bc.value if bc is not None else closure_pats
+        matcher = _matcher_for(fp, pats)
+        red, gen = matcher.redact, redact_generic
+        return texts.map(
+            lambda s: red(gen(s)) if isinstance(s, str) else s
+        )
+
+    return scrub_text
+
+
+def make_generic_scrub_udf():
+    """Pandas UDF for the generic (email/phone) stage only."""
+
+    @F.pandas_udf(StringType())
+    def scrub_generic(texts: pd.Series) -> pd.Series:
+        gen = redact_generic
+        return texts.map(lambda s: gen(s) if isinstance(s, str) else s)
+
+    return scrub_generic
+
+
+def make_dict_scrub_udf(patterns: Sequence[str], spark=None):
+    """Pandas UDF for the dictionary stage only."""
+    fp, bc, closure_pats = _resolve(spark, patterns)
+
+    @F.pandas_udf(StringType())
+    def scrub_dict(texts: pd.Series) -> pd.Series:
+        pats = bc.value if bc is not None else closure_pats
+        matcher = _matcher_for(fp, pats)
+        red = matcher.redact
+        return texts.map(lambda s: red(s) if isinstance(s, str) else s)
+
+    return scrub_dict
+
+
+ANALYZE_SCHEMA = StructType(
+    [
+        StructField("text_scrubbed", StringType()),
+        StructField("lang", StringType()),
+        StructField("lang_conf", DoubleType()),
+        StructField("ppl", DoubleType()),
+    ]
+)
+
+
+def make_analyze_udf(patterns: Sequence[str], spark=None):
+    """Fused scrub + langid + perplexity in one Arrow round trip.
+
+    Language and perplexity are computed on the ORIGINAL text (quality of
+    the source turn), scrubbing produces ``text_scrubbed``.
+    """
+    fp, bc, closure_pats = _resolve(spark, patterns)
+
+    @F.pandas_udf(ANALYZE_SCHEMA)
+    def analyze_text(texts: pd.Series) -> pd.DataFrame:
+        pats = bc.value if bc is not None else closure_pats
+        matcher = _matcher_for(fp, pats)
+        red, gen = matcher.redact, redact_generic
+
+        scrubbed, langs, confs, ppls = [], [], [], []
+        for s in texts:
+            if isinstance(s, str):
+                scrubbed.append(red(gen(s)))
+                lang, conf = detect_language(s)
+                langs.append(lang)
+                confs.append(conf)
+                ppls.append(char_perplexity(s))
+            else:
+                scrubbed.append(None)
+                langs.append(None)
+                confs.append(None)
+                ppls.append(None)
+        return pd.DataFrame(
+            {
+                "text_scrubbed": scrubbed,
+                "lang": langs,
+                "lang_conf": confs,
+                "ppl": ppls,
+            }
+        )
+
+    return analyze_text
+
+
+def make_langid_udf():
+    """Standalone language-ID pandas UDF → struct(lang, lang_conf)."""
+    schema = StructType(
+        [StructField("lang", StringType()), StructField("lang_conf", DoubleType())]
+    )
+
+    @F.pandas_udf(schema)
+    def langid(texts: pd.Series) -> pd.DataFrame:
+        out_lang, out_conf = [], []
+        for s in texts:
+            if isinstance(s, str):
+                lang, conf = detect_language(s)
+            else:
+                lang, conf = None, None
+            out_lang.append(lang)
+            out_conf.append(conf)
+        return pd.DataFrame({"lang": out_lang, "lang_conf": out_conf})
+
+    return langid
+
+
+def make_perplexity_udf():
+    @F.pandas_udf(DoubleType())
+    def perplexity(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda s: char_perplexity(s) if isinstance(s, str) else None
+        )
+
+    return perplexity

@@ -1,0 +1,67 @@
+"""Large-scale training-data operators: dedup, similarity, text stats, multimodal."""
+
+from .dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    normalized_fingerprint,
+    shingles,
+    simhash,
+    simhash_near_dup_pairs,
+    tokenize,
+)
+from .multimodal import (
+    FEATURES_SCHEMA,
+    MEDIA_SCHEMA,
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from .similarity import (
+    brute_force_topk,
+    cosine_sim,
+    embedding_near_dup_pairs,
+    lsh_topk,
+    make_sign_lsh_udf,
+)
+from .textstats import (
+    BPE_ISH_RE,
+    bpe_ish_token_count,
+    corpus_language_stats,
+    make_fingerprint_udf,
+    stopword_ratio,
+    token_stats,
+    whitespace_token_count,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_candidate_pairs",
+    "minhash_dedup",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "normalized_fingerprint",
+    "shingles",
+    "simhash",
+    "simhash_near_dup_pairs",
+    "tokenize",
+    "FEATURES_SCHEMA",
+    "MEDIA_SCHEMA",
+    "extract_features",
+    "frame_sample_plan",
+    "synthesize_media",
+    "brute_force_topk",
+    "cosine_sim",
+    "embedding_near_dup_pairs",
+    "lsh_topk",
+    "make_sign_lsh_udf",
+    "BPE_ISH_RE",
+    "bpe_ish_token_count",
+    "corpus_language_stats",
+    "make_fingerprint_udf",
+    "stopword_ratio",
+    "token_stats",
+    "whitespace_token_count",
+]

@@ -1,0 +1,283 @@
+"""Deduplication operators for web-scale corpora.
+
+All candidate generation stays JVM-side (xxhash64 / array expressions —
+no Python in the hot path), which is what makes these viable at 100 TB:
+
+* exact dedup — hash groupBy on a normalized fingerprint (one shuffle);
+* MinHash + LSH — shingle → per-permutation min-hash → band → bucket
+  join; only bucket-colliding pairs are verified, so the pair space is
+  ~linear, not quadratic;
+* SimHash — 64-bit signature from token-hash bit votes, chunk-banded
+  Hamming candidate join;
+* n-gram Jaccard — exact verification for candidate pairs.
+
+Skew note: a degenerate bucket (e.g. the empty-shingle signature) would
+explode the pair join quadratically, so buckets larger than
+``max_bucket_size`` are dropped (standard LSH practice — such buckets
+are boilerplate/near-empty docs better handled by exact dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized_fingerprint(text_col: str | Column) -> Column:
+    """md5 of lowercased, alnum+space-normalized text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact normalized fingerprint.
+
+    Implemented as min-id-per-group + semi join (two map-side-combinable
+    hash aggs) rather than a full window sort — cheaper at scale.
+    """
+    fp = normalized_fingerprint(text_col).alias("_fp")
+    with_fp = df.withColumn("_fp", normalized_fingerprint(text_col))
+    keepers = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keepers, ["_fp", id_col], "left_semi").drop("_fp")
+
+
+def tokenize(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), 0)
+
+
+def shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (JVM transform/slice)."""
+    toks = tokenize(text_col)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
+    """array<bigint> of per-permutation min hashes (xxhash64 with seed)."""
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+                ),
+                F.lit(-(2**62) + i),  # empty docs: distinct sentinel per perm
+            )
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """LSH candidate pairs with estimated Jaccard ≥ threshold.
+
+    Returns (id_a, id_b, est_jaccard). est_jaccard = fraction of equal
+    signature components (the standard MinHash estimator).
+    """
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(shingles(text_col, shingle_n), num_perm).alias("_sig"),
+    )
+
+    band_entries = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("_sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_sig", "_b.band", "_b.bucket")
+
+    # Drop degenerate buckets (quadratic-blowup guard).
+    bucket_sizes = band_entries.groupBy("band", "bucket").agg(
+        F.count("*").alias("_n")
+    )
+    band_entries = band_entries.join(
+        bucket_sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+        ["band", "bucket"],
+        "inner",
+    )
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sig").alias("sig_a"),
+            F.col("b._sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("double")
+        / F.lit(float(num_perm))
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, **kwargs
+) -> DataFrame:
+    """Drop the higher-id member of every near-dup pair (greedy)."""
+    pairs = minhash_candidate_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# -- SimHash ----------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per row, fully JVM-side.
+
+    Explode tokens → xxhash64 per token → per-bit vote sums → recombine.
+    One shuffle (groupBy id); each bit is a conditional sum the codegen
+    vectorizes.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("_id").agg(*votes)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"_v{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return agg.select(F.col("_id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Candidate pairs via 16-bit chunk banding (pigeonhole: hamming ≤ 3
+    ⇒ at least one of 4 chunks equal), verified with bit_count(xor)."""
+    sig = simhash(df, id_col, text_col)
+    chunks = sig.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "simhash", "_c.chunk", "_c.val")
+    sizes = chunks.groupBy("chunk", "val").agg(F.count("*").alias("_n"))
+    chunks = chunks.join(
+        sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+        ["chunk", "val"],
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -- exact n-gram Jaccard verification ---------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for (id_a, id_b) candidates."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(text_col, n)).alias("_sh"),
+    )
+    out = (
+        candidate_pairs.join(
+            sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "_shb"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return out.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )

@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The Spark-side contract is real and tested — schema, Arrow batch shape,
+``mapInPandas`` partitioned decode, typed metadata — while the actual
+codec step is stubbed (no image/audio libraries in this container):
+
+* ``decode_stub=True`` → deterministic fake features derived from the
+  payload bytes (stable across executors, usable in tests/bench);
+* ``decode_stub=False`` → raises NotImplementedError where a real
+  decoder (PIL/ffmpeg/torchaudio) would plug in, with the exact
+  batch-iterator shape a real implementation must keep.
+
+At scale: binary payloads dominate row size, so ``maxRecordsPerBatch``
+must be set low for these stages (see bench configs), and decode runs
+``mapInPandas`` so one malformed payload fails one row, not the task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_DIM = 32
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic pseudo-embedding from payload bytes (sha256-seeded)."""
+    digest = hashlib.sha256(payload or b"").digest()
+    seed = int.from_bytes(digest[:8], "little") % (2**31)
+    rng = np.random.RandomState(seed)
+    v = rng.randn(dim).astype(np.float32)
+    return v / (np.linalg.norm(v) + 1e-9)
+
+
+def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """media table → (media_id, kind, n_bytes, features) via mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg; plug the codec "
+                    "in here keeping this (batch-in → batch-out) shape"
+                )
+            feats = [
+                _fake_features(p if isinstance(p, (bytes, bytearray)) else b"")
+                .tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: len(p) if isinstance(p, (bytes, bytearray)) else 0
+                    ),
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def synthesize_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[
+                    kind
+                ],
+                64 + (i % 8) * 16 if kind == "image" else None,
+                64 + (i % 5) * 16 if kind == "image" else None,
+                1000 * (1 + i % 30) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video → frame-sampling work list (one row per planned frame).
+
+    The decode itself is stubbed; the partition-friendly explode that a
+    real sampler would fan out over is real and tested.
+    """
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
+        )
+        .select("media_id", "frame_ms", "payload")
+    )

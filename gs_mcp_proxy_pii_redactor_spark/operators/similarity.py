@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the engine contract:
+
+* brute-force cosine top-k — the exact baseline; a broadcast of the
+  query vectors against a single pass over the corpus (no shuffle
+  except the final top-k, which is TakeOrderedAndProject);
+* sign-LSH (random hyperplanes) bucketed search — the scale path: a
+  deterministic numpy hyperplane pack is broadcast, signatures are
+  computed in one vectorized pandas UDF, candidates come from bucket
+  equality (+ optional multi-probe), and only candidates are reranked
+  exactly. At 100 TB the bucket join replaces the O(N) scan per query
+  with O(N/2^bits) expected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def cosine_sim(a: Column | str, b: Column | str) -> Column:
+    """Exact cosine similarity between two array<float|double> columns
+    (JVM-side fold; float elements are cast to double)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(ca, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(cb, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_sim(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_bits, dim).astype(np.float64)
+
+
+def make_sign_lsh_udf(dim: int, n_bits: int = 16, seed: int = 42):
+    """Pandas UDF: embedding → signature (bigint of sign bits).
+
+    The hyperplane pack is deterministic (seeded) and rebuilt identically
+    on every executor — no broadcast needed for <= 64×dim doubles.
+    """
+    planes = _hyperplanes(dim, n_bits, seed)
+    weights = (1 << np.arange(n_bits, dtype=np.uint64)).astype(np.uint64)
+
+    @F.pandas_udf(LongType())
+    def sign_lsh(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        if mat.ndim != 2 or mat.size == 0:
+            return pd.Series([0] * len(vecs), dtype="int64")
+        bits = (mat @ planes.T) > 0  # (batch, n_bits)
+        sigs = (bits.astype(np.uint64) * weights).sum(axis=1)
+        return pd.Series(sigs.astype(np.int64))
+
+    return sign_lsh
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 12,
+    seed: int = 42,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict to the query's LSH bucket (plus all
+    buckets within ``multiprobe_bits`` Hamming distance), rerank exactly."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_bits, seed)
+    qbits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
+    qsig = int(
+        (qbits.astype(np.uint64) * (1 << np.arange(n_bits, dtype=np.uint64))).sum()
+    )
+    probes = {qsig}
+    if multiprobe_bits >= 1:
+        for i in range(n_bits):
+            probes.add(qsig ^ (1 << i))
+
+    lsh = make_sign_lsh_udf(dim, n_bits, seed)
+    bucketed = df.withColumn("_sig", lsh(F.col(vec_col)))
+    candidates = bucketed.filter(F.col("_sig").isin(*[int(p) for p in probes]))
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_sim(F.col(vec_col), q)
+    return (
+        candidates.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 12,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH bucket join,
+    exact-cosine verified. Returns (id_a, id_b, cos_sim ≥ threshold)."""
+    dim = len(df.select(vec_col).first()[0])
+    lsh = make_sign_lsh_udf(dim, n_bits, seed)
+    sig = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_sig", lsh(F.col("_v")))
+    sizes = sig.groupBy("_sig").agg(F.count("*").alias("_n"))
+    sig = sig.join(sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"), "_sig")
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._sig") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.round(cosine_sim(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)

@@ -1,0 +1,117 @@
+"""Text analysis operators: token counting, fingerprinting, corpus stats.
+
+All JVM-side native expressions except the rolling-hash fingerprint
+(vectorized pandas UDF — the polynomial hash has a loop-carried
+dependency that Catalyst can't express).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# roughly GPT-2's pre-tokenization classes, expressed as one regex.
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def whitespace_token_count(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0))
+
+
+def bpe_ish_token_count(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0))
+
+
+def stopword_ratio(text_col: str | Column, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of tokens that are (English) stopwords — a classic
+    quality heuristic (C4/Gopher): low ratio ⇒ likely non-prose."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.regexp_extract_all(F.lower(c), F.lit("[a-z]+"), 0)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(
+        F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_ws_tokens / n_bpe_tokens / avg_token_len columns."""
+    ws = whitespace_token_count(text_col)
+    bpe = bpe_ish_token_count(text_col)
+    return (
+        df.withColumn("n_ws_tokens", ws.cast("bigint"))
+        .withColumn("n_bpe_tokens", bpe.cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            F.when(
+                ws > 0,
+                F.round(
+                    F.length(F.regexp_replace(text_col, r"\s", "")).cast("double")
+                    / ws.cast("double"),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+_FP_BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def make_fingerprint_udf(k: int = 8):
+    """Pandas UDF: winnowing-style document fingerprint.
+
+    Rolling FNV-style hash over each k-byte window of the normalized
+    text; the fingerprint is the MINIMUM window hash (stable under
+    shifts/append — two documents sharing most k-grams usually share
+    the min). Deterministic across executors.
+    """
+
+    @F.pandas_udf(LongType())
+    def doc_fingerprint(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not isinstance(t, str) or not t:
+                out[i] = 0
+                continue
+            data = np.frombuffer(
+                t.lower().encode("utf-8", "ignore"), dtype=np.uint8
+            ).astype(np.uint64)
+            if len(data) < k:
+                h = _FP_OFFSET
+                for b in data:
+                    h = (h * _FP_BASE + b) & np.uint64(0xFFFFFFFFFFFFFFFF)
+                out[i] = np.int64(h >> np.uint64(1))
+                continue
+            # vectorized polynomial window hashes: H[j] = sum b[j+d]*B^(k-1-d)
+            with np.errstate(over="ignore"):
+                powers = np.empty(k, dtype=np.uint64)
+                powers[k - 1] = np.uint64(1)
+                for d in range(k - 2, -1, -1):
+                    powers[d] = powers[d + 1] * _FP_BASE
+                n_win = len(data) - k + 1
+                acc = np.zeros(n_win, dtype=np.uint64)
+                for d in range(k):
+                    acc += data[d : d + n_win] * powers[d]
+            out[i] = np.int64(acc.min() >> np.uint64(1))
+        return pd.Series(out)
+
+    return doc_fingerprint
+
+
+def corpus_language_stats(df: DataFrame, lang_col: str = "lang") -> DataFrame:
+    return (
+        df.groupBy(lang_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        )
+        .orderBy(lang_col)
+    )

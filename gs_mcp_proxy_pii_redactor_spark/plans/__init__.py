@@ -1,0 +1,33 @@
+"""Pipeline plans: config, the scrub+filter job, metrics, resume."""
+
+from .config import (
+    ScrubJobConfig,
+    ToolFilterConfig,
+    interpolate_env,
+    load_job_config,
+)
+from .job import (
+    apply_tool_filter,
+    build_pipeline,
+    conv_stats,
+    drop_reason_rollup,
+    run_job,
+    scrub_metrics,
+)
+from .resume import completed_buckets, run_resumable_job, with_bucket
+
+__all__ = [
+    "ScrubJobConfig",
+    "ToolFilterConfig",
+    "interpolate_env",
+    "load_job_config",
+    "apply_tool_filter",
+    "build_pipeline",
+    "conv_stats",
+    "drop_reason_rollup",
+    "run_job",
+    "scrub_metrics",
+    "completed_buckets",
+    "run_resumable_job",
+    "with_bucket",
+]

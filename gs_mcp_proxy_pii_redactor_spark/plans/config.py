@@ -1,0 +1,97 @@
+"""Job configuration — analogue of the reference's config plumbing.
+
+Mirrors RedactionOptions {enabled, keys, verboseAudit}
+(reference src/config/types.ts:13-18) plus tool allow/block filtering
+(types.ts:7-11) and the north-star quality knobs. Supports ``${ENV}``
+interpolation like the reference config loader
+(src/config/config.service.ts:127-148).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..functions.quality import QualityConfig
+
+_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def interpolate_env(value: str, env: dict[str, str] | None = None) -> str:
+    """Replace ``${VAR}`` with its environment value (config.service.ts:127-148)."""
+    env = env if env is not None else dict(os.environ)
+
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in env:
+            raise KeyError(f"Environment variable {name} is not set")
+        return env[name]
+
+    return _ENV_RE.sub(sub, value)
+
+
+@dataclass(frozen=True)
+class ToolFilterConfig:
+    """allow = keep-if-listed (semi), block = drop-if-listed (anti);
+    default mode is block; unknown mode = pass-through
+    (reference mcp-client-wrapper.ts:529-565)."""
+
+    mode: str = "block"
+    list: tuple[str, ...] = ()
+
+    def keeps(self, tool_name: str) -> bool:
+        if not self.list:
+            return True
+        if self.mode == "allow":
+            return tool_name in self.list
+        if self.mode == "block":
+            return tool_name not in self.list
+        return True  # unknown mode passes (reference :560-564)
+
+
+@dataclass(frozen=True)
+class ScrubJobConfig:
+    """Full pipeline configuration."""
+
+    enabled: bool = True
+    text_columns: tuple[str, ...] = ("text",)  # 'keys' analogue (T10)
+    dictionary: tuple[str, ...] = ()
+    verbose_audit: bool = False
+    extended_pii: bool = True
+    quality: QualityConfig = field(default_factory=QualityConfig)
+    tool_filter: ToolFilterConfig = field(default_factory=ToolFilterConfig)
+    # scrub-stage parallelism; None = inherit upstream partitioning
+    # (the scrub stage is per-turn and needs NO keyed shuffle — SURVEY §4.3)
+    repartition: int | None = None
+    # conv-level aggregate salting factor for hot conversations
+    skew_salt: int = 8
+
+
+def load_job_config(path: str, env: dict[str, str] | None = None) -> ScrubJobConfig:
+    """Load config from JSON with env interpolation in string values."""
+    with open(path, encoding="utf-8") as f:
+        raw = f.read()
+    data = json.loads(raw)
+
+    def interp(obj: Any) -> Any:
+        if isinstance(obj, str):
+            return interpolate_env(obj, env)
+        if isinstance(obj, list):
+            return [interp(x) for x in obj]
+        if isinstance(obj, dict):
+            return {k: interp(v) for k, v in obj.items()}
+        return obj
+
+    data = interp(data)
+    quality = QualityConfig(**data.pop("quality", {}))
+    tf = data.pop("tool_filter", {})
+    tool_filter = ToolFilterConfig(
+        mode=tf.get("mode", "block"), list=tuple(tf.get("list", ()))
+    )
+    for key in ("text_columns", "dictionary"):
+        if key in data:
+            data[key] = tuple(data[key])
+    return ScrubJobConfig(quality=quality, tool_filter=tool_filter, **data)

@@ -1,0 +1,167 @@
+"""The scrub + filter pipeline builder (SURVEY.md §4.3 target plan).
+
+Physical shape (batch):
+
+    Scan(transcripts)                       # Parquet/Iceberg, pruned
+     → [optional tool allow/block filter]   # JVM predicate (F1)
+     → ArrowEvalPython[analyze_text]        # ONE fused pandas UDF pass:
+                                            #   scrub (parity) + langid + ppl
+     → Project(extended-PII regex stages)   # JVM regexp_replace chain
+     → Project(quality features + rules)    # JVM expressions
+     → keep / drop_reasons                  # JVM array expressions
+     → branch A: per-turn output (shuffle-free)
+     → branch B: metrics aggregates (map-side partial agg)
+
+The scrub stage is embarrassingly parallel per turn — no keyed shuffle
+on the hot path; conversation-level statistics take the salted keyed
+path (conv_stats) so hot conversations don't produce straggler tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.pii_extended import extended_pii_hits, scrub_extended_pii
+from ..functions.quality import with_quality_columns
+from ..functions.udfs import make_analyze_udf
+from .config import ScrubJobConfig
+
+
+def apply_tool_filter(df: DataFrame, cfg: ScrubJobConfig) -> DataFrame:
+    """Allow/block list over the ``tool`` column (reference F1 semantics:
+    mcp-client-wrapper.ts:529-565). Non-tool rows always pass."""
+    tf = cfg.tool_filter
+    if not tf.list:
+        return df
+    listed = F.col("tool").isin(*tf.list)
+    if tf.mode == "allow":
+        keep = F.col("tool").isNull() | listed
+    elif tf.mode == "block":
+        keep = F.col("tool").isNull() | ~listed
+    else:  # unknown mode passes everything (reference :560-564)
+        return df
+    return df.filter(keep)
+
+
+def build_pipeline(
+    spark: SparkSession, df: DataFrame, cfg: ScrubJobConfig
+) -> DataFrame:
+    """Append text_scrubbed / lang / lang_conf / ppl / quality columns."""
+    df = apply_tool_filter(df, cfg)
+
+    if cfg.repartition:
+        # Round-robin-by-hash over (conv_id, turn_idx): even task sizing
+        # for the per-turn stage regardless of conversation skew.
+        df = df.repartition(
+            cfg.repartition,
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(cfg.repartition)),
+        )
+
+    if cfg.enabled and cfg.dictionary:
+        analyze = make_analyze_udf(cfg.dictionary, spark)
+        df = df.withColumn("_a", analyze(F.col("text"))).select(
+            "*", "_a.text_scrubbed", "_a.lang", "_a.lang_conf", "_a.ppl"
+        ).drop("_a")
+        if cfg.extended_pii:
+            if cfg.verbose_audit:
+                df = df.withColumn(
+                    "extended_pii_rules", extended_pii_hits("text_scrubbed")
+                )
+            df = df.withColumn(
+                "text_scrubbed", scrub_extended_pii("text_scrubbed")
+            )
+    else:
+        # Redaction gate (reference redaction.service.ts:59-61): disabled
+        # or no dictionary → identity text, but langid/ppl still run.
+        from ..functions.udfs import make_langid_udf, make_perplexity_udf
+
+        df = (
+            df.withColumn("text_scrubbed", F.col("text"))
+            .withColumn("_l", make_langid_udf()(F.col("text")))
+            .select("*", "_l.lang", "_l.lang_conf")
+            .drop("_l")
+            .withColumn("ppl", make_perplexity_udf()(F.col("text")))
+        )
+
+    df = with_quality_columns(
+        df,
+        cfg.quality,
+        text_col="text",
+        role_col="role" if "role" in df.columns else None,
+        tool_col="tool" if "tool" in df.columns else None,
+        lang_col="lang",
+        lang_conf_col="lang_conf",
+        ppl_col="ppl",
+    )
+    if cfg.verbose_audit:
+        # Audit analogue of the reference's pre/post file pair
+        # (audit-logger.ts:28-56): keep pre-text + a changed flag.
+        df = df.withColumn("redacted", F.col("text") != F.col("text_scrubbed"))
+    return df
+
+
+def scrub_metrics(result: DataFrame) -> DataFrame:
+    """Per-(lang, role) scrub/filter counters — branch B of the plan.
+
+    Hash aggregation gives map-side partial aggregation for free; the
+    grouping key space is tiny so the final shuffle is negligible.
+    """
+    return result.groupBy("lang", "role").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum((F.col("text") != F.col("text_scrubbed")).cast("long")).alias(
+            "n_redacted"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("ppl"), 4).alias("avg_ppl"),
+    )
+
+
+def drop_reason_rollup(result: DataFrame) -> DataFrame:
+    """Counts per individual drop reason (explode → groupBy)."""
+    return (
+        result.select(F.explode("drop_reasons").alias("drop_reason"))
+        .groupBy("drop_reason")
+        .count()
+        .orderBy("drop_reason")
+    )
+
+
+def conv_stats(result: DataFrame, salt: int = 8) -> DataFrame:
+    """Conversation-level aggregates with skew salting (SURVEY §2.5 J2).
+
+    Two-phase aggregation: partial agg on (conv_id, salt) spreads a hot
+    conversation over ``salt`` reducers, then a cheap final agg on
+    conv_id combines the partials. AQE skew-join handling covers joins;
+    this covers the groupBy path.
+    """
+    salted = result.withColumn(
+        "_salt", F.pmod(F.xxhash64("turn_idx"), F.lit(salt))
+    )
+    partial = salted.groupBy("conv_id", "_salt").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("k"),
+        F.sum("n_chars").alias("c"),
+    )
+    return partial.groupBy("conv_id").agg(
+        F.sum("n").alias("n_turns"),
+        F.sum("k").alias("n_keep"),
+        (F.sum("k") / F.sum("n")).alias("keep_rate"),
+        F.sum("c").alias("total_chars"),
+    )
+
+
+def run_job(
+    spark: SparkSession,
+    input_df: DataFrame,
+    cfg: ScrubJobConfig,
+    output_path: str,
+    metrics_path: str | None = None,
+) -> None:
+    """Execute the pipeline and write outputs (branch A + branch B)."""
+    result = build_pipeline(spark, input_df, cfg)
+    result.write.mode("overwrite").parquet(output_path)
+    if metrics_path:
+        out = spark.read.parquet(output_path)
+        scrub_metrics(out).write.mode("overwrite").parquet(metrics_path)

@@ -1,0 +1,104 @@
+"""Checkpoint/resume with per-partition lineage and metrics.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics". Strategy (SURVEY.md §4.2 "Checkpoint/resume"):
+
+* the input keyspace is split into ``n_buckets`` stable hash buckets of
+  ``conv_id`` (on Iceberg this is the hidden ``bucket(N, conv_id)``
+  partition; locally we derive it with xxhash64);
+* buckets are processed in waves; each wave writes its output partitions
+  via dynamic partition overwrite (idempotent — a re-run of a failed
+  wave overwrites the same directories) and only then appends one
+  manifest row per bucket with lineage + counters;
+* resume = read the manifest, skip complete buckets, process the rest.
+
+The manifest is itself a small Parquet table:
+(run_id, bucket, status, n_rows, n_keep, n_redacted, wrote_at).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import ScrubJobConfig
+from .job import build_pipeline
+
+BUCKET_COL = "_bucket"
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def completed_buckets(spark: SparkSession, manifest_path: str) -> set[int]:
+    try:
+        mdf = spark.read.parquet(manifest_path)
+    except Exception:
+        return set()
+    rows = (
+        mdf.filter(F.col("status") == "complete")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    return {r.bucket for r in rows}
+
+
+def run_resumable_job(
+    spark: SparkSession,
+    input_df: DataFrame,
+    cfg: ScrubJobConfig,
+    output_path: str,
+    manifest_path: str,
+    n_buckets: int = 16,
+    wave_size: int = 4,
+    fail_after_waves: int | None = None,
+) -> str:
+    """Process all not-yet-complete buckets in waves; returns run_id.
+
+    ``fail_after_waves`` injects a crash after N waves (for resume tests).
+    """
+    run_id = uuid.uuid4().hex
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    done = completed_buckets(spark, manifest_path)
+    todo = [b for b in range(n_buckets) if b not in done]
+    if not todo:
+        return run_id
+
+    bucketed = with_bucket(input_df, n_buckets)
+    waves = [todo[i : i + wave_size] for i in range(0, len(todo), wave_size)]
+
+    for w, wave in enumerate(waves):
+        if fail_after_waves is not None and w >= fail_after_waves:
+            raise RuntimeError(f"injected failure before wave {w}")
+        wave_df = bucketed.filter(F.col(BUCKET_COL).isin(wave))
+        result = build_pipeline(spark, wave_df, cfg)
+        # Idempotent write: dynamic overwrite replaces exactly the wave's
+        # bucket directories (Iceberg: overwritePartitions).
+        result.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+            output_path
+        )
+        # Lineage/metrics rows — only after the wave's data is durable.
+        stats = (
+            result.groupBy(BUCKET_COL)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("keep").cast("long")).alias("n_keep"),
+                F.sum(
+                    (F.col("text") != F.col("text_scrubbed")).cast("long")
+                ).alias("n_redacted"),
+            )
+            .withColumnRenamed(BUCKET_COL, "bucket")
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("status", F.lit("complete"))
+            .withColumn("wrote_at", F.lit(time.time()))
+        )
+        stats.write.mode("append").parquet(manifest_path)
+    return run_id

@@ -1,0 +1,25 @@
+"""Sources and sinks: table adapters, dictionary I/O, synthesis."""
+
+from .catalog import (
+    TESTDATA_TABLES,
+    TRANSCRIPT_COLUMNS,
+    load_dictionary,
+    read_table,
+    read_transcripts,
+)
+from .golden import GOLDEN_CASES, GOLDEN_INPUTS, GOLDEN_OUTPUTS, PARITY_DICTIONARY
+from .synth import synthesize_transcripts, write_transcripts
+
+__all__ = [
+    "TESTDATA_TABLES",
+    "TRANSCRIPT_COLUMNS",
+    "load_dictionary",
+    "read_table",
+    "read_transcripts",
+    "GOLDEN_CASES",
+    "GOLDEN_INPUTS",
+    "GOLDEN_OUTPUTS",
+    "PARITY_DICTIONARY",
+    "synthesize_transcripts",
+    "write_transcripts",
+]

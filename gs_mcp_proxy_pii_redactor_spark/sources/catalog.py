@@ -1,0 +1,71 @@
+"""Table and dictionary I/O.
+
+Production path is Iceberg (`spark.read.format("iceberg")` with hidden
+partitioning ``bucket(N, conv_id), days(ts)`` and snapshot pinning); this
+sandbox has no Iceberg runtime jar, so the adapter reads the same schema
+from Parquet directories — the downstream plan is identical either way
+(SURVEY.md §1.2).
+
+Dictionary loading mirrors the reference's GCS text-file reader
+(src/redaction/redaction.service.ts:148-172): newline-split, trimmed,
+empties dropped, files concatenated. At cluster scale the file lives on
+object storage and is read through the Hadoop FS connector; the terms are
+deduped distributed-side before the driver collect (SURVEY.md §2.4 A2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-testdata table (Parquet)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_transcripts(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Read a transcript table; Iceberg in production, Parquet locally."""
+    if fmt == "iceberg":
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        return reader.load(path)
+    return spark.read.format(fmt).load(path)
+
+
+def load_dictionary(spark: SparkSession, *paths: str, dedupe: bool = True) -> list[str]:
+    """Load PII term lists from text files → driver list for broadcast.
+
+    Parity with the reference loader: split lines, trim, drop empties
+    (redaction.service.ts:159-163). ``dedupe`` lowers+dedupes
+    distributed-side before collecting (the Matcher re-normalizes anyway;
+    this just bounds the collect for multi-GB name lists).
+    """
+    if not paths:
+        raise ValueError("load_dictionary requires at least one path")
+    df = spark.read.text(list(paths))
+    terms = df.select(F.trim("value").alias("term")).filter(F.length("term") > 0)
+    if dedupe:
+        terms = terms.select(F.lower("term").alias("term")).distinct()
+    return [r.term for r in terms.collect()]

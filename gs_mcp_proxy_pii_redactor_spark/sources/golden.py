@@ -1,0 +1,64 @@
+"""Golden byte-parity cases (text_in → text_out) under the e2e dictionary.
+
+Sources: /root/reference/e2e/__snapshots__/redaction.e2e-spec.ts.snap and
+the reference unit specs (see FIXTURES.md §3). All expected outputs are
+for the full pipeline: generic scan first, then dictionary
+['Romario', 'GaryPratt', 'Chieh'].
+"""
+
+from __future__ import annotations
+
+PARITY_DICTIONARY = ["Romario", "GaryPratt", "Chieh"]
+
+# (text_in, expected_text_out) — expected under PARITY_DICTIONARY.
+GOLDEN_CASES: list[tuple[str, str]] = [
+    (
+        "Email me at foo.bar+test@example.com or at user@example.co.uk, "
+        "call +1 (650) 555-1234 or +972 52-353-1234.",
+        "Email me at [REDACTED] or at [REDACTED], "
+        "call +1 (650) 555-1234 or [REDACTED]",
+    ),
+    (
+        "Email: foo.bar+test@example.com, Phone: +1 (650) 555-1234. Hello "
+        "Romario and GaryPratt. abc123456123 should not be redacted.",
+        "Email: [REDACTED], Phone: +1 (650) 555-1234. Hello "
+        "[REDACTED] and [REDACTED]. abc123456123 should not be redacted.",
+    ),
+    (
+        "Contact at user@example.co.uk and +972 52-353-1234 and Chieh",
+        "Contact at [REDACTED] and +972 52-353-1234 and [REDACTED]",
+    ),
+    ("mailto:someone@example.com", "mailto:[REDACTED]"),
+    (
+        "This other field has user@example.com and +1-212-555-0987 but may "
+        "be affected by traversal.",
+        "This other field has [REDACTED] and +1-212-555-0987 but may "
+        "be affected by traversal.",
+    ),
+    (
+        "Email: x@y.z, phone: +1-202-555-0199, and Chieh mentioned.",
+        "Email: x@y.z, phone: [REDACTED], and [REDACTED] mentioned.",
+    ),
+    ("Call me at +44 20 7946 0958", "Call me at [REDACTED]"),
+    (
+        "Romario is in nested note with email a.b@example.com",
+        "[REDACTED] is in nested note with email [REDACTED]",
+    ),
+    ("GaryPratt appears here", "[REDACTED] appears here"),
+    ("no pii", "no pii"),
+    (
+        "Contact me at john.doe@example.com for details",
+        "Contact me at [REDACTED] for details",
+    ),
+    ("Call me at 555-123-4567", "Call me at [REDACTED]"),
+    ("Number: 1234567890", "Number: [REDACTED]"),
+    ("Short: 123456789", "Short: 123456789"),
+    ("Price: 10 @ $5 each", "Price: 10 @ $5 each"),
+    (
+        "Contact john@example.com or call 555-123-4567",
+        "Contact [REDACTED] or call [REDACTED]",
+    ),
+]
+
+GOLDEN_INPUTS = [c[0] for c in GOLDEN_CASES]
+GOLDEN_OUTPUTS = [c[1] for c in GOLDEN_CASES]

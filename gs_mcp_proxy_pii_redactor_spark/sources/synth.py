@@ -1,0 +1,130 @@
+"""Deterministic transcript synthesis — entirely native Spark expressions.
+
+BASELINE.json's input is an Iceberg table of multi-turn transcripts
+(conv_id, turn_idx, role, text, tool, ts); the driver testdata has no
+such table, so tests/bench synthesize one deterministically from
+``documents.parquet``. Generation is pure column expressions (no driver
+loops, no Python UDFs, no randomness), so it scales to any SF and always
+produces identical rows for a given input.
+
+Deliberately injected, per FIXTURES.md §1:
+
+* golden PII snippets (sources/golden.py) so scrub parity is exercised
+  end-to-end;
+* 1-2 "hot" conversations holding ~1% of all turns (skew handling);
+* invalid roles (``bot``, empty) and role/tool inconsistencies;
+* degenerate texts (empty, repetitive spam, symbol junk, digit walls)
+  that the quality rules must drop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import read_table
+from .golden import GOLDEN_INPUTS
+
+_EPOCH_2024 = 1_704_067_200  # 2024-01-01T00:00:00Z
+
+_DEGENERATE_TEXTS = [
+    "",  # empty → too_short
+    "spam " * 40,  # repetitive → repetitive
+    "!!!###$$$%%%^^^&&&***((()))___+++===~~~```|||" * 3,  # symbol junk
+    "9" * 300,  # digit wall → high_digit_ratio
+    "ok",  # minimal but valid
+]
+
+
+def synthesize_transcripts(
+    spark: SparkSession,
+    sf_dir: str,
+    turns_per_doc: int = 8,
+    hot_conv_count: int = 2,
+    hot_doc_modulus: int = 51,
+) -> DataFrame:
+    """Build the transcript table from ``documents`` at ``sf_dir``.
+
+    Row count = n_documents × turns_per_doc. Every doc whose id is
+    divisible by ``hot_doc_modulus`` contributes its turns to one of
+    ``hot_conv_count`` shared "hot" conversations (skew fixture).
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    k = F.col("k")
+    doc_id = F.col("doc_id")
+
+    df = docs.withColumn(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(turns_per_doc - 1)))
+    )
+
+    is_hot = (doc_id % hot_doc_modulus) == 0
+    conv_id = F.when(
+        is_hot,
+        F.concat(F.lit("conv-hot-"), (doc_id % hot_conv_count).cast("string")),
+    ).otherwise(F.concat(F.lit("conv-"), doc_id.cast("string")))
+    turn_idx = F.when(
+        is_hot,
+        (F.floor(doc_id / hot_doc_modulus) * turns_per_doc + k).cast("int"),
+    ).otherwise(k.cast("int"))
+
+    # Deterministic role cycle with rare invalid values.
+    sel = F.pmod(doc_id * 7 + k * 3, F.lit(23))
+    role = (
+        F.when(sel == 0, F.lit("system"))
+        .when(sel == 1, F.lit("tool"))
+        .when(sel == 2, F.lit("bot"))  # invalid on purpose
+        .when(sel == 3, F.lit(""))  # invalid on purpose
+        .when(sel % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+
+    # tool non-null iff role == 'tool' — except a deliberate violation slice.
+    tool = (
+        F.when(sel == 1, F.concat(F.lit("tool_"), (doc_id % 5).cast("string")))
+        .when(sel == 4, F.lit("rogue_tool"))  # violation: role != 'tool'
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+    # Text: a sliding slice of the document text, with golden PII snippets
+    # spliced into ~25% of turns and degenerate texts into ~9%.
+    snippets = F.array(*[F.lit(s) for s in GOLDEN_INPUTS])
+    degenerates = F.array(*[F.lit(s) for s in _DEGENERATE_TEXTS])
+    base_slice = F.substring(
+        F.col("text"),
+        (1 + F.pmod(doc_id * 13 + k * 17, F.lit(40))).cast("int"),
+        (80 + F.pmod(doc_id * 5 + k * 29, F.lit(160))).cast("int"),
+    )
+    mode = F.pmod(doc_id * 31 + k * 11, F.lit(12))
+    pii = F.element_at(
+        snippets, (F.pmod(doc_id + k, F.lit(len(GOLDEN_INPUTS))) + 1).cast("int")
+    )
+    degen = F.element_at(
+        degenerates,
+        (F.pmod(doc_id + k, F.lit(len(_DEGENERATE_TEXTS))) + 1).cast("int"),
+    )
+    text = (
+        F.when(mode <= 2, F.concat_ws(" ", base_slice, pii))
+        .when(mode == 3, degen)
+        .otherwise(base_slice)
+    )
+
+    ts = F.timestamp_seconds(
+        F.lit(_EPOCH_2024) + doc_id * 3600 + k * 60
+    )
+
+    return df.select(
+        conv_id.alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        ts.alias("ts"),
+    )
+
+
+def write_transcripts(df: DataFrame, path: str, buckets: int = 0) -> None:
+    """Materialize the synthetic table (Parquet locally; Iceberg would use
+    writeTo(...).partitionedBy(bucket(N, conv_id), days(ts))."""
+    writer = df.write.mode("overwrite")
+    writer.parquet(path)

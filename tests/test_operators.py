@@ -1,0 +1,194 @@
+"""Tests for dedup / similarity / textstats / multimodal operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gs_mcp_proxy_pii_redactor_spark.operators import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    extract_features,
+    frame_sample_plan,
+    lsh_topk,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+    synthesize_media,
+    token_stats,
+)
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " with one extra tail phrase"),  # near dup of 0
+        (3, "completely different text about database query optimization"),
+        (4, "Another unrelated sentence mentioning spark and shuffles"),
+        (5, base.upper()),  # case-normalized exact dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(dup_docs):
+    kept = exact_dedup(dup_docs, "doc_id", "text")
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert 0 in ids and 1 not in ids and 5 not in ids
+    assert 2 in ids and 3 in ids and 4 in ids
+
+
+def test_minhash_pairs_and_dedup(dup_docs):
+    pairs = minhash_candidate_pairs(
+        dup_docs, "doc_id", "text", threshold=0.4
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got  # identical
+    assert (0, 5) in got  # case-insensitive identical
+    assert (0, 2) in got or (1, 2) in got  # near dup
+    assert all({a, b} != {3, 4} for a, b in got)
+    deduped = minhash_dedup(dup_docs, "doc_id", "text", threshold=0.4)
+    ids = sorted(r.doc_id for r in deduped.select("doc_id").collect())
+    assert 0 in ids and 1 not in ids and 5 not in ids
+    assert 3 in ids and 4 in ids
+
+
+def test_ngram_jaccard_exact(dup_docs, spark):
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], ["id_a", "id_b"]
+    )
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(dup_docs, cand, "doc_id", "text").collect()
+    }
+    assert jac[(0, 1)] == 1.0
+    assert 0.5 < jac[(0, 2)] < 1.0
+    assert jac[(0, 3)] < 0.1
+
+
+def test_simhash(dup_docs):
+    sh = {r.doc_id: r.simhash for r in simhash(dup_docs, "doc_id", "text").collect()}
+    assert sh[0] == sh[1] == sh[5]
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    ham03 = bin(sh[0] ^ sh[3]).count("1")
+    assert ham02 < ham03
+    pairs = simhash_near_dup_pairs(dup_docs, "doc_id", "text", max_hamming=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 5) in got
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_brute_force_vs_lsh_topk(embeddings):
+    qvec = embeddings.filter(F.col("vec_id") == 0).first().embedding
+    exact = brute_force_topk(embeddings, qvec, k=10)
+    rows = exact.collect()
+    assert rows[0].vec_id == 0 and rows[0].cos_sim == 1.0
+    assert all(
+        rows[i].cos_sim >= rows[i + 1].cos_sim for i in range(len(rows) - 1)
+    )
+    approx = lsh_topk(embeddings, qvec, k=10, n_bits=8)
+    approx_ids = {r.vec_id for r in approx.collect()}
+    assert 0 in approx_ids  # query's own bucket always probed
+    # testdata embeddings are near-random (top sim ~0.37), so LSH recall
+    # of the exact top-10 is not meaningful here; planted-neighbor recall
+    # is covered by test_lsh_topk_planted_neighbors.
+
+
+def test_lsh_topk_planted_neighbors(spark):
+    rng = np.random.RandomState(11)
+    base = rng.randn(32)
+    rows = []
+    for i in range(10):  # true neighbors of the query
+        v = base + rng.randn(32) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    for i in range(10, 300):  # noise
+        rows.append((i, [float(x) for x in rng.randn(32)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [float(x) for x in base]
+    exact_ids = {r.vec_id for r in brute_force_topk(df, q, k=10).collect()}
+    approx_ids = {r.vec_id for r in lsh_topk(df, q, k=10, n_bits=8).collect()}
+    assert exact_ids == set(range(10))
+    assert len(approx_ids & exact_ids) >= 8  # high recall on real clusters
+
+
+def test_embedding_near_dup(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(16).astype("float32")
+    near = base + rng.randn(16).astype("float32") * 0.01
+    far = rng.randn(16).astype("float32")
+    df = spark.createDataFrame(
+        [
+            (0, [float(x) for x in base]),
+            (1, [float(x) for x in near]),
+            (2, [float(x) for x in far]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = embedding_near_dup_pairs(df, threshold=0.99, n_bits=4).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello world, 42 times!"), (1, ""), (2, "   ")], ["id", "text"]
+    )
+    out = {r.id: r for r in token_stats(df).collect()}
+    assert out[0].n_ws_tokens == 4
+    # Hello | world | , | 42 | times | !
+    assert out[0].n_bpe_tokens == 6
+    assert out[1].n_ws_tokens == 0 and out[2].n_ws_tokens == 0
+
+
+def test_fingerprint_udf(spark):
+    from gs_mcp_proxy_pii_redactor_spark.operators import make_fingerprint_udf
+
+    df = spark.createDataFrame(
+        [
+            (0, "shared shingle content in the middle of this document"),
+            (1, "PREFIX shared shingle content in the middle of this document"),
+            (2, "totally different"),
+        ],
+        ["id", "text"],
+    )
+    fp = make_fingerprint_udf(k=8)
+    out = {r.id: r.fp for r in df.select("id", fp("text").alias("fp")).collect()}
+    assert out[0] == out[1]  # min window hash survives the prefix shift
+    assert out[0] != out[2]
+
+
+def test_multimodal_features(spark):
+    media = synthesize_media(spark, n=30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r.media_id: r for r in feats}
+    assert all(len(r.features) == 32 for r in feats)
+    assert by_id[0].n_bytes > 0
+    # determinism across runs
+    feats2 = {r.media_id: r.features for r in extract_features(media).collect()}
+    assert feats2[0] == by_id[0].features
+    # frame sampling plan explodes video rows only
+    plan = frame_sample_plan(media, every_ms=5000)
+    kinds = media.filter(F.col("kind") == "video").count()
+    assert plan.select("media_id").distinct().count() == kinds
+    assert plan.count() >= kinds
+
+
+def test_multimodal_real_decode_raises(spark):
+    media = synthesize_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, decode_stub=False).collect()

@@ -1,0 +1,75 @@
+"""Spark-side parity: the pandas UDFs must equal the kernel byte-for-byte."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gs_mcp_proxy_pii_redactor_spark.functions.udfs import (
+    make_analyze_udf,
+    make_scrub_udf,
+)
+from gs_mcp_proxy_pii_redactor_spark.kernel import Matcher, redact_generic
+from gs_mcp_proxy_pii_redactor_spark.sources.golden import (
+    GOLDEN_CASES,
+    PARITY_DICTIONARY,
+)
+
+pytestmark = pytest.mark.spark
+
+
+def test_scrub_udf_matches_golden(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(GOLDEN_CASES)], ["id", "text"]
+    )
+    scrub = make_scrub_udf(PARITY_DICTIONARY, spark)
+    out = {
+        r.id: r.scrubbed
+        for r in df.withColumn("scrubbed", scrub("text")).collect()
+    }
+    for i, (_, expected) in enumerate(GOLDEN_CASES):
+        assert out[i] == expected, (i, out[i], expected)
+
+
+def test_scrub_udf_null_and_empty(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "plain")], ["id", "text"]
+    )
+    scrub = make_scrub_udf(["secret"], spark)
+    rows = {r.id: r.s for r in df.withColumn("s", scrub("text")).collect()}
+    assert rows[0] is None
+    assert rows[1] == ""
+    assert rows[2] == "plain"
+
+
+def test_analyze_udf_struct(spark):
+    texts = [
+        ("the quick brown fox and the lazy dog are here with the others", "en"),
+        ("der hund und die katze sind nicht mit der maus im haus", "de"),
+        ("le chat et le chien sont dans la maison avec les autres", "fr"),
+        ("el perro y el gato están en la casa con los otros", "es"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(texts)], ["id", "text"]
+    )
+    analyze = make_analyze_udf(PARITY_DICTIONARY, spark)
+    res = (
+        df.withColumn("a", analyze("text"))
+        .select("id", "a.lang", "a.ppl", "a.text_scrubbed")
+        .collect()
+    )
+    by_id = {r.id: r for r in res}
+    for i, (t, lang) in enumerate(texts):
+        assert by_id[i].lang == lang, (t, by_id[i].lang)
+        assert by_id[i].ppl > 0
+        assert by_id[i].text_scrubbed == t  # no PII in these
+
+
+def test_udf_agrees_with_kernel_on_documents(spark, sf_dir):
+    """Run the UDF over real testdata text and cross-check vs the kernel."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    dictionary = ["table", "index", "merge"]
+    scrub = make_scrub_udf(dictionary, spark)
+    got = docs.select("doc_id", "text", scrub("text").alias("s")).collect()
+    m = Matcher.build(dictionary)
+    for r in got:
+        assert r.s == m.redact(redact_generic(r.text)), r.doc_id
