@@ -34,6 +34,7 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -78,8 +79,11 @@ def run_bench(spark, sf_dir: str, turns_per_doc: int = TURNS_PER_DOC):
     # Materialize the synthetic transcript input once (parquet, like the
     # real table) so the scrub benchmark measures the pipeline, not synth.
     tmp = f"/tmp/bench_transcripts_{os.getpid()}"
+    par = spark.sparkContext.defaultParallelism
     transcripts = synthesize_transcripts(spark, sf_dir, turns_per_doc)
-    transcripts.write.mode("overwrite").parquet(tmp)
+    # Write enough files that the scrub scan parallelizes like a real
+    # bucketed table would (one ~60MB file = one task otherwise).
+    transcripts.repartition(par * 2).write.mode("overwrite").parquet(tmp)
     tdf = spark.read.parquet(tmp)
     n_turns = tdf.count()
     extras["n_turns"] = n_turns

@@ -3,7 +3,13 @@
 from .langid import detect_language
 from .perplexity import char_perplexity
 from .pii_extended import EXTENDED_PII_PATTERNS, extended_pii_hits, scrub_extended_pii
-from .quality import QualityConfig, feature_columns, rule_predicates, with_quality_columns
+from .quality import (
+    QualityConfig,
+    feature_columns,
+    rule_predicates,
+    rules_from_features,
+    with_quality_columns,
+)
 from .udfs import (
     ANALYZE_SCHEMA,
     dictionary_fingerprint,
@@ -24,6 +30,7 @@ __all__ = [
     "QualityConfig",
     "feature_columns",
     "rule_predicates",
+    "rules_from_features",
     "with_quality_columns",
     "ANALYZE_SCHEMA",
     "dictionary_fingerprint",

@@ -72,58 +72,73 @@ _DIACRITICS: dict[str, str] = {
 }
 
 _WORD_RE = re.compile(r"[a-zà-öø-ÿœ]+")
+_CJK_RE = re.compile("[\u4e00-\u9fff\u3040-\u30ff\uf900-\ufaff]")
+_CYR_RE = re.compile("[\u0400-\u04ff]")
+_NONSPACE_RE = re.compile(r"\S")
 
 _DIACRITIC_WEIGHT = 0.3
 UNKNOWN = "und"
 
-
-def _script_counts(text: str) -> tuple[int, int, int]:
-    """Count (cjk, cyrillic, total-non-space) code points, sampled."""
-    cjk = cyr = total = 0
-    for ch in text:
-        if ch.isspace():
-            continue
-        total += 1
-        o = ord(ch)
-        if 0x4E00 <= o <= 0x9FFF or 0x3040 <= o <= 0x30FF or 0xF900 <= o <= 0xFAFF:
-            cjk += 1
-        elif 0x0400 <= o <= 0x04FF:
-            cyr += 1
-    return cjk, cyr, total
+# Hot-path lookup: token → tuple of lang indices whose stopword list
+# contains it (one dict probe per token instead of |langs| set probes).
+_LANG_INDEX = {lang: i for i, lang in enumerate(_LANGS)}
+_TOKEN_LANGS: dict[str, tuple[int, ...]] = {}
+for _lang, _words in _STOPWORDS.items():
+    for _w in _words:
+        _TOKEN_LANGS[_w] = _TOKEN_LANGS.get(_w, ()) + (_LANG_INDEX[_lang],)
+_DIACRITIC_LANGS: dict[str, tuple[int, ...]] = {}
+for _lang, _chars in _DIACRITICS.items():
+    for _c in _chars:
+        _DIACRITIC_LANGS[_c] = _DIACRITIC_LANGS.get(_c, ()) + (_LANG_INDEX[_lang],)
 
 
 def detect_language(text: str | None, max_chars: int = 1000) -> tuple[str, float]:
-    """Return ``(lang, confidence)`` for one document. Deterministic."""
+    """Return ``(lang, confidence)`` for one document. Deterministic.
+
+    ASCII fast path: ``str.isascii`` (C speed) rules out CJK/Cyrillic and
+    diacritics, so the per-row cost is one regex tokenize + one dict
+    probe per token.
+    """
     if not text:
         return (UNKNOWN, 0.0)
     sample = text[:max_chars]
+    is_ascii = sample.isascii()
 
-    cjk, cyr, total = _script_counts(sample)
-    if total == 0:
-        return (UNKNOWN, 0.0)
-    if cjk / total >= 0.25:
-        return ("zh", min(1.0, cjk / total + 0.5))
-    if cyr / total >= 0.25:
-        return ("ru", min(1.0, cyr / total + 0.5))
+    if not is_ascii:
+        total = len(_NONSPACE_RE.findall(sample))
+        if total == 0:
+            return (UNKNOWN, 0.0)
+        cjk = len(_CJK_RE.findall(sample))
+        if cjk / total >= 0.25:
+            return ("zh", min(1.0, cjk / total + 0.5))
+        cyr = len(_CYR_RE.findall(sample))
+        if cyr / total >= 0.25:
+            return ("ru", min(1.0, cyr / total + 0.5))
 
     lower = sample.lower()
-    scores = dict.fromkeys(_LANGS, 0.0)
+    scores = [0.0] * len(_LANGS)
     n_tokens = 0
+    token_langs_get = _TOKEN_LANGS.get
     for m in _WORD_RE.finditer(lower):
-        tok = m.group()
         n_tokens += 1
-        for lang in _LANGS:
-            if tok in _STOPWORDS[lang]:
-                scores[lang] += 1.0
-    for lang, chars in _DIACRITICS.items():
-        hits = sum(lower.count(c) for c in chars)
-        if hits:
-            scores[lang] += _DIACRITIC_WEIGHT * hits
+        hit = token_langs_get(m.group())
+        if hit:
+            for i in hit:
+                scores[i] += 1.0
+    if not is_ascii:
+        for ch, langs in _DIACRITIC_LANGS.items():
+            hits = lower.count(ch)
+            if hits:
+                for i in langs:
+                    scores[i] += _DIACRITIC_WEIGHT * hits
 
-    # Deterministic argmax: ties broken by language-code order.
-    best = max(sorted(scores), key=lambda k: scores[k])
-    total_score = sum(scores.values())
+    total_score = sum(scores)
     if total_score == 0.0 or n_tokens == 0:
         return (UNKNOWN, 0.0)
-    conf = scores[best] / (total_score + 1e-9)
-    return (best, round(min(1.0, conf), 4))
+    # Deterministic argmax: ties broken by language-code order.
+    best_i = min(
+        range(len(_LANGS)),
+        key=lambda i: (-scores[i], _LANGS[i]),
+    )
+    conf = scores[best_i] / (total_score + 1e-9)
+    return (_LANGS[best_i], round(min(1.0, conf), 4))

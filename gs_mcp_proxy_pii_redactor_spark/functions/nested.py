@@ -1,0 +1,110 @@
+"""Nested-payload redaction: the reference's JSON-tree semantics per row.
+
+The flat transcript pipeline covers the common case (one string per
+turn). When a turn/tool payload is itself a JSON document (tool results,
+structured assistant messages), the reference semantics are the
+recursive walks T9 (redact all strings) / T10 (keyed walk)
+(reference src/redaction/redaction.service.ts:70-119). This module runs
+exactly those kernel walkers inside a vectorized pandas UDF:
+
+* ``make_scrub_json_udf`` — JSON string column → JSON string column with
+  every string leaf scrubbed (generic scan + dictionary, byte-parity);
+  invalid JSON falls back to scrubbing the raw string (never drops data);
+* ``make_extract_strings_udf`` — JSON → array<struct<path,value>> of
+  string leaves, for explode-then-analyze flows (per-leaf quality
+  metrics at scale).
+
+Serialization note: output JSON uses compact separators and NO key
+reordering (same member order as input, like JS JSON.stringify), so a
+no-redaction round trip is byte-stable for typical payloads.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.matcher import Matcher
+from ..kernel.service import redact_all_strings, redact_by_keys
+from .udfs import _matcher_for, _resolve
+
+
+def make_scrub_json_udf(
+    patterns: Sequence[str],
+    keys: Sequence[str] | None = None,
+    spark=None,
+):
+    """Pandas UDF applying T9 (keys empty) or T10 (keys set) per row."""
+    fp, bc, closure_pats = _resolve(spark, patterns)
+    key_tuple = tuple(keys) if keys else ()
+
+    @F.pandas_udf(StringType())
+    def scrub_json(payloads: pd.Series) -> pd.Series:
+        pats = bc.value if bc is not None else closure_pats
+        matcher = _matcher_for(fp, pats)
+
+        def one(s):
+            if not isinstance(s, str):
+                return s
+            try:
+                tree = json.loads(s)
+            except ValueError:
+                # not JSON: scrub as a plain string (reference treats any
+                # string leaf the same way)
+                return redact_all_strings(s, matcher)
+            if key_tuple:
+                out = redact_by_keys(tree, key_tuple, matcher)
+            else:
+                out = redact_all_strings(tree, matcher)
+            return json.dumps(out, ensure_ascii=False, separators=(",", ":"))
+
+        return payloads.map(one)
+
+    return scrub_json
+
+
+LEAF_SCHEMA = ArrayType(
+    StructType(
+        [StructField("path", StringType()), StructField("value", StringType())]
+    )
+)
+
+
+def make_extract_strings_udf():
+    """Pandas UDF: JSON string → array of (json-path, string-leaf)."""
+
+    @F.pandas_udf(LEAF_SCHEMA)
+    def extract_strings(payloads: pd.Series) -> pd.Series:
+        def walk(node, path, out):
+            if isinstance(node, str):
+                out.append({"path": path, "value": node})
+            elif isinstance(node, list):
+                for i, item in enumerate(node):
+                    walk(item, f"{path}[{i}]", out)
+            elif isinstance(node, dict):
+                for k, v in node.items():
+                    walk(v, f"{path}.{k}" if path else k, out)
+
+        def one(s):
+            if not isinstance(s, str):
+                return None
+            try:
+                tree = json.loads(s)
+            except ValueError:
+                return [{"path": "", "value": s}]
+            out: list[dict] = []
+            walk(tree, "", out)
+            return out
+
+        return payloads.map(one)
+
+    return extract_strings

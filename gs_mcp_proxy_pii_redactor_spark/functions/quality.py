@@ -42,7 +42,14 @@ class QualityConfig:
 
 
 def feature_columns(text: Column) -> dict[str, Column]:
-    """Cheap JVM-side text features used by the rules and metrics."""
+    """Cheap JVM-side text features used by the rules and metrics.
+
+    NOTE: inline single-projection form (standalone use). The pipeline
+    path (:func:`with_quality_columns`) stages these across several
+    small projections instead — one megaexpression projection blows the
+    whole-stage-codegen method-size limit and falls back to interpreted
+    eval (measured ~4× slower at 250k rows).
+    """
     n_chars = F.length(text)
     # strip classes via regexp_replace and length-diff — codegen-friendly
     n_alpha = n_chars - F.length(F.regexp_replace(text, "[A-Za-z]", ""))
@@ -68,19 +75,69 @@ def feature_columns(text: Column) -> dict[str, Column]:
     }
 
 
-def rule_predicates(
+def staged_feature_frames(df: DataFrame, text_col: str) -> DataFrame:
+    """Append feature columns via small, staged projections.
+
+    Stage 1 materializes the raw counts and the token array (each
+    referenced multiple times downstream — the multi-reference keeps
+    CollapseProject from re-inlining them); stage 2 derives the ratios.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.trim(text)
+    n_chars = F.length(text)
+    df = df.withColumns(
+        {
+            "n_chars": n_chars,
+            # regexp_count: counts matches WITHOUT materializing stripped
+            # copies of the string (3 fewer full-string allocations per
+            # row than the regexp_replace+length trick — the per-turn
+            # stage is memory-bandwidth sensitive at scale)
+            "_n_alpha": F.regexp_count(text, F.lit("[A-Za-z]")),
+            "_n_digit": F.regexp_count(text, F.lit("[0-9]")),
+            "_n_space": F.regexp_count(text, F.lit(r"\s")),
+            "_tokens": F.when(F.length(trimmed) == 0, F.array().cast("array<string>"))
+            .otherwise(F.split(trimmed, r"\s+")),
+        }
+    )
+    safe = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    n_tokens = F.size("_tokens")
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "alpha_ratio": F.col("_n_alpha") / safe,
+            "digit_ratio": F.col("_n_digit") / safe,
+            "symbol_ratio": (
+                F.col("n_chars")
+                - F.col("_n_alpha")
+                - F.col("_n_digit")
+                - F.col("_n_space")
+            )
+            / safe,
+            "word_rep_ratio": F.when(
+                n_tokens > 0,
+                1.0
+                - F.size(F.array_distinct("_tokens")) / n_tokens.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            "max_word_len": F.coalesce(
+                F.array_max(F.transform("_tokens", F.length)), F.lit(0)
+            ),
+        }
+    )
+
+
+def rules_from_features(
     cfg: QualityConfig,
+    feats: dict[str, Column],
     *,
-    text_col: str = "text",
     role_col: str | None = "role",
     tool_col: str | None = "tool",
     lang_col: str | None = None,
     lang_conf_col: str | None = None,
     ppl_col: str | None = None,
 ) -> dict[str, Column]:
-    """Map rule-name → pass-predicate (True = keep). Null text fails."""
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    feats = feature_columns(text)
+    """Rule-name → pass-predicate, built from given feature columns
+    (pass ``F.col`` references to reuse materialized features instead of
+    re-deriving ``split``/``regexp_replace`` per rule)."""
     rules: dict[str, Column] = {
         "too_short": feats["n_chars"] >= cfg.min_chars,
         "too_long": feats["n_chars"] <= cfg.max_chars,
@@ -112,6 +169,14 @@ def rule_predicates(
     return rules
 
 
+def rule_predicates(
+    cfg: QualityConfig, *, text_col: str = "text", **kwargs
+) -> dict[str, Column]:
+    """Standalone variant: derives features from ``text_col`` inline."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return rules_from_features(cfg, feature_columns(text), **kwargs)
+
+
 def with_quality_columns(
     df: DataFrame,
     cfg: QualityConfig | None = None,
@@ -127,18 +192,33 @@ def with_quality_columns(
     rule stage stays in whole-stage codegen.
     """
     cfg = cfg or QualityConfig()
+    feat_names = (
+        "n_chars n_tokens alpha_ratio digit_ratio symbol_ratio "
+        "word_rep_ratio max_word_len".split()
+    )
     if include_features:
-        text = F.coalesce(F.col(text_col), F.lit(""))
-        for name, col in feature_columns(text).items():
-            df = df.withColumn(name, col)
-    rules = rule_predicates(cfg, text_col=text_col, **rule_kwargs)
+        # Staged small projections (see staged_feature_frames) — one
+        # megaexpression projection exceeds codegen method limits and
+        # drops to interpreted evaluation.
+        df = staged_feature_frames(df, text_col)
+        rules = rules_from_features(
+            cfg, {name: F.col(name) for name in feat_names}, **rule_kwargs
+        )
+    else:
+        rules = rule_predicates(cfg, text_col=text_col, **rule_kwargs)
+
+    # Stage: boolean rule columns (small exprs over materialized feats),
+    # then a compact reason-array projection over the booleans only.
+    rule_cols = {f"_r_{name}": F.coalesce(pred, F.lit(False)) for name, pred in rules.items()}
+    df = df.withColumns(rule_cols)
     reason_array = F.array(
         *[
-            F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
-            for name, pred in rules.items()
+            F.when(~F.col(f"_r_{name}"), F.lit(name))
+            for name in rules
         ]
     )
     df = df.withColumn(
         "drop_reasons", F.filter(reason_array, lambda x: x.isNotNull())
     )
-    return df.withColumn("keep", F.size(F.col("drop_reasons")) == 0)
+    df = df.withColumn("keep", F.size(F.col("drop_reasons")) == 0)
+    return df.drop("_tokens", "_n_alpha", "_n_digit", "_n_space", *rule_cols.keys())

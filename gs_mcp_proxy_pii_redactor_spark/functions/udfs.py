@@ -31,7 +31,7 @@ from pyspark.sql.types import (
 from ..kernel.matcher import Matcher
 from ..kernel.scanner import redact_generic
 from .langid import detect_language
-from .perplexity import char_perplexity
+from .perplexity import batch_char_perplexity, char_perplexity
 
 # Per-Python-worker matcher memo: {fingerprint: Matcher}. Workers are
 # long-lived (spark.python.worker.reuse defaults true), so each executor
@@ -132,27 +132,24 @@ def make_analyze_udf(patterns: Sequence[str], spark=None):
     def analyze_text(texts: pd.Series) -> pd.DataFrame:
         pats = bc.value if bc is not None else closure_pats
         matcher = _matcher_for(fp, pats)
-        red, gen = matcher.redact, redact_generic
+        red, gen, det = matcher.redact, redact_generic, detect_language
 
-        scrubbed, langs, confs, ppls = [], [], [], []
-        for s in texts:
-            if isinstance(s, str):
-                scrubbed.append(red(gen(s)))
-                lang, conf = detect_language(s)
-                langs.append(lang)
-                confs.append(conf)
-                ppls.append(char_perplexity(s))
-            else:
-                scrubbed.append(None)
-                langs.append(None)
-                confs.append(None)
-                ppls.append(None)
+        vals = texts.tolist()
+        scrubbed = [red(gen(s)) if isinstance(s, str) else None for s in vals]
+        lang_conf = [
+            det(s) if isinstance(s, str) else (None, None) for s in vals
+        ]
+        ppls = batch_char_perplexity(vals)  # vectorized numpy batch
+        ppl_col = [
+            float(p) if isinstance(s, str) else None
+            for s, p in zip(vals, ppls)
+        ]
         return pd.DataFrame(
             {
                 "text_scrubbed": scrubbed,
-                "lang": langs,
-                "lang_conf": confs,
-                "ppl": ppls,
+                "lang": [lc[0] for lc in lang_conf],
+                "lang_conf": [lc[1] for lc in lang_conf],
+                "ppl": ppl_col,
             }
         )
 

@@ -203,6 +203,48 @@ def scan_phone_at(
     return (start, end, True)
 
 
+_DIGIT_RUN_MIN = 16  # below this, the naive loop is already cheap
+
+
+def _digit_run_fast_path(s: str, i: int, n: int):
+    """Resolve a long PURE digit run [i, e) in one pass.
+
+    Applicable only when the character at the run end terminates the
+    phone scan (i.e. is not a separator/paren that would let the scan
+    continue past the run). Returns None when not applicable; else
+    ``(match_start, match_end, next_i)`` with ``match_start == -1`` for
+    "no match anywhere in the run".
+
+    Equivalence to the reference loop (scanner-generic.ts:16-46 with
+    restarts): every scan starting at p in [i, e) sees exactly
+    ``e - p`` digits and ends at ``e``; validity reduces to the digit-
+    count bounds, the start/end boundary checks, and the bare-run 00
+    rule — which this evaluates for increasing p, returning the first
+    valid start exactly like the restart loop would.
+    """
+    e = i
+    while e < n and s[e] in _DIGITS:
+        e += 1
+    if e - i < _DIGIT_RUN_MIN:
+        return None
+    if e < n and (s[e] in " -.()" ):
+        return None  # scan would continue beyond the run — use naive path
+    # End boundary: same for every start in the run.
+    if e < n and s[e] in _ALPHA_UNDERSCORE:
+        return (-1, -1, e)
+    # First start whose digit count fits [min, max]:
+    p0 = max(i, e - PHONE_MAX_DIGITS)
+    p_last = e - PHONE_MIN_DIGITS  # inclusive
+    for p in range(p0, p_last + 1):
+        if p == i and p > 0 and s[p - 1] in _ALPHA_UNDERSCORE:
+            continue
+        count = e - p
+        if count >= 12 and not (s[p] == "0" and s[p + 1] == "0"):
+            continue
+        return (p, e, e)
+    return (-1, -1, e)
+
+
 def redact_generic(s: str) -> str:
     """Redact emails and phone numbers in one left-to-right pass.
 
@@ -235,6 +277,20 @@ def redact_generic(s: str) -> str:
                 i = e_end
                 continue
         else:  # '+' or digit
+            if c != "+":
+                # O(run) fast path for pure digit runs — semantically
+                # identical to the reference's restart-at-i+1 loop, which
+                # is O(run²) on digit walls (scanner-generic.ts:45).
+                fast = _digit_run_fast_path(s, i, n)
+                if fast is not None:
+                    p_start, p_end = fast[0], fast[1]
+                    if p_start >= 0:
+                        if p_start > last_write:
+                            result.append(s[last_write:p_start])
+                        result.append(REDACTED)
+                        last_write = p_end
+                    i = fast[2]
+                    continue
             p_start, p_end, p_valid = scan_phone_at(
                 s, i, PHONE_MIN_DIGITS, PHONE_MAX_DIGITS
             )

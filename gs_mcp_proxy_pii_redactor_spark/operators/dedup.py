@@ -35,7 +35,6 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Implemented as min-id-per-group + semi join (two map-side-combinable
     hash aggs) rather than a full window sort — cheaper at scale.
     """
-    fp = normalized_fingerprint(text_col).alias("_fp")
     with_fp = df.withColumn("_fp", normalized_fingerprint(text_col))
     keepers = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return with_fp.join(keepers, ["_fp", id_col], "left_semi").drop("_fp")
@@ -56,13 +55,21 @@ def shingles(text_col: str | Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_perm: int = 64) -> Column:
-    """array<bigint> of per-permutation min hashes (xxhash64 with seed)."""
+def minhash_signature(base_hash_col: Column, num_perm: int = 64) -> Column:
+    """array<bigint> of per-permutation min hashes.
+
+    ``base_hash_col`` is array<bigint> — each shingle STRING hashed once
+    (the expensive part); permutations re-hash the 8-byte base value
+    (``xxhash64(h, seed)``), which is ~free by comparison. Avoids 64
+    full-string hashing passes per row.
+    """
     return F.array(
         *[
             F.coalesce(
                 F.array_min(
-                    F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+                    F.transform(
+                        base_hash_col, lambda h, i=i: F.xxhash64(h, F.lit(i))
+                    )
                 ),
                 F.lit(-(2**62) + i),  # empty docs: distinct sentinel per perm
             )
@@ -88,14 +95,25 @@ def minhash_candidate_pairs(
     signature components (the standard MinHash estimator).
     """
     rows_per_band = num_perm // bands
-    sig = df.select(
+    # Two-step projection: shingle strings hashed ONCE (the expensive
+    # scan), then 64 cheap long-rehash transforms. Kept as separate
+    # selects so CollapseProject doesn't inline the string hashing 64×.
+    hashed = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(shingles(text_col, shingle_n), num_perm).alias("_sig"),
+        F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias(
+            "_bh"
+        ),
     )
+    sig = hashed.select(
+        "_id", minhash_signature(F.col("_bh"), num_perm).alias("_sig")
+    )
+    # Signatures are read 4× downstream (bands, sizes, est-join ×2) —
+    # persist; at production scale this is the materialized signature
+    # table you'd write alongside the corpus.
+    sig = sig.persist()
 
     band_entries = sig.select(
         "_id",
-        "_sig",
         F.explode(
             F.array(
                 *[
@@ -109,7 +127,7 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("_b"),
-    ).select("_id", "_sig", "_b.band", "_b.bucket")
+    ).select("_id", "_b.band", "_b.bucket")
 
     # Drop degenerate buckets (quadratic-blowup guard).
     bucket_sizes = band_entries.groupBy("band", "bucket").agg(
@@ -130,13 +148,18 @@ def minhash_candidate_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sig").alias("sig_a"),
-            F.col("b._sig").alias("sig_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # Attach signatures only AFTER pair dedup (arrays stay out of the
+    # self-join shuffle).
+    pairs = pairs.join(
+        sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")),
+        "id_a",
+    ).join(
+        sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")),
+        "id_b",
     )
 
     est = (

@@ -8,6 +8,7 @@ from .config import (
 )
 from .job import (
     apply_tool_filter,
+    audit_frame,
     build_pipeline,
     conv_stats,
     drop_reason_rollup,
@@ -22,6 +23,7 @@ __all__ = [
     "interpolate_env",
     "load_job_config",
     "apply_tool_filter",
+    "audit_frame",
     "build_pipeline",
     "conv_stats",
     "drop_reason_rollup",

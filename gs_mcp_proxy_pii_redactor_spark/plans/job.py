@@ -101,6 +101,23 @@ def build_pipeline(
     return df
 
 
+def audit_frame(result: DataFrame) -> DataFrame:
+    """Audit side-output — analogue of the reference's pre/post JSON file
+    pair per operation (audit-logger.ts:28-56), as a table: one row per
+    CHANGED turn with pre/post text and which stages hit."""
+    from ..functions.pii_extended import extended_pii_hits
+
+    changed = result.filter(F.col("text") != F.col("text_scrubbed"))
+    return changed.select(
+        "conv_id",
+        "turn_idx",
+        F.col("text").alias("text_pre"),
+        F.col("text_scrubbed").alias("text_post"),
+        F.expr("uuid()").alias("op_id"),
+        extended_pii_hits("text").alias("extended_rule_hits"),
+    )
+
+
 def scrub_metrics(result: DataFrame) -> DataFrame:
     """Per-(lang, role) scrub/filter counters — branch B of the plan.
 

@@ -1,0 +1,13 @@
+"""Structured Streaming variant of the scrub pipeline."""
+
+from .scrub_stream import (
+    TRANSCRIPT_SCHEMA,
+    run_scrub_stream,
+    streaming_drop_reason_counts,
+)
+
+__all__ = [
+    "TRANSCRIPT_SCHEMA",
+    "run_scrub_stream",
+    "streaming_drop_reason_counts",
+]

@@ -1,0 +1,82 @@
+"""Streaming scrub: the same per-turn pipeline over readStream.
+
+The reference is a synchronous request/response proxy (no stream
+processing — SURVEY.md §2.7); the batch pipeline is the primary mode.
+This module exists because a transcript firehose is the natural
+streaming deployment of the same computation: the per-turn stage is
+stateless, so the identical ``build_pipeline`` transformation graph
+runs under Structured Streaming unchanged, with
+
+* file-source ``readStream`` (Iceberg/Kafka in production),
+* ``availableNow`` trigger for catch-up-then-stop semantics,
+* checkpointed exactly-once parquet sink,
+* an optional watermarked windowed drop-reason aggregate (late turns
+  tolerated up to the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..plans.config import ScrubJobConfig
+from ..plans.job import build_pipeline
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def run_scrub_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    cfg: ScrubJobConfig,
+    available_now: bool = True,
+    schema: StructType = TRANSCRIPT_SCHEMA,
+):
+    """Stream transcripts → scrub+rules → parquet sink. Returns the query."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+    result = build_pipeline(spark, stream, cfg)
+    writer = (
+        result.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_drop_reason_counts(
+    result_stream: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked windowed drop-reason counts (late-data tolerant)."""
+    return (
+        result_stream.withWatermark("ts", watermark)
+        .select(F.col("ts"), F.explode("drop_reasons").alias("drop_reason"))
+        .groupBy(F.window("ts", window_duration), "drop_reason")
+        .count()
+    )

@@ -1,0 +1,103 @@
+"""Pure-Python reference labeler (FIXTURES.md §4).
+
+Computes (text_scrubbed, keep, drop_reasons) for transcript rows with
+NO Spark — an independent re-derivation of the pipeline semantics used
+as the F1/byte-parity oracle. The scrub part is the kernel itself
+(pinned byte-for-byte by the ported reference specs); the quality rules
+are re-implemented here in plain Python, mirroring QualityConfig.
+"""
+
+from __future__ import annotations
+
+import re
+
+from gs_mcp_proxy_pii_redactor_spark.functions.langid import detect_language
+from gs_mcp_proxy_pii_redactor_spark.functions.perplexity import char_perplexity
+from gs_mcp_proxy_pii_redactor_spark.functions.pii_extended import (
+    EXTENDED_PII_PATTERNS,
+)
+from gs_mcp_proxy_pii_redactor_spark.functions.quality import (
+    VALID_ROLES,
+    QualityConfig,
+)
+from gs_mcp_proxy_pii_redactor_spark.kernel import Matcher, redact_generic
+
+_ALPHA = re.compile(r"[A-Za-z]")
+_DIGIT = re.compile(r"[0-9]")
+_SPACE = re.compile(r"\s")
+_WS = re.compile(r"\s+")
+
+# Java and Python regex dialects agree on the extended patterns in use
+_EXT_COMBINED = re.compile(
+    "|".join(f"(?:{p})" for p in EXTENDED_PII_PATTERNS.values())
+)
+
+
+def label_row(
+    row: dict,
+    matcher: Matcher,
+    cfg: QualityConfig | None = None,
+    extended_pii: bool = True,
+) -> dict:
+    """Row dict with conv_id/turn_idx/role/text/tool → labeled dict."""
+    cfg = cfg or QualityConfig()
+    text = row.get("text") or ""
+    role = row.get("role")
+    tool = row.get("tool")
+
+    scrubbed = matcher.redact(redact_generic(text))
+    if extended_pii:
+        scrubbed = _EXT_COMBINED.sub("[REDACTED]", scrubbed)
+    lang, lang_conf = detect_language(text)
+    ppl = char_perplexity(text)
+
+    n_chars = len(text)
+    trimmed = text.strip()
+    tokens = _WS.split(trimmed) if trimmed else []
+    n_tokens = len(tokens)
+    safe = max(n_chars, 1)
+    n_alpha = len(_ALPHA.findall(text))
+    n_digit = len(_DIGIT.findall(text))
+    n_space = len(_SPACE.findall(text))
+    alpha_ratio = n_alpha / safe
+    digit_ratio = n_digit / safe
+    symbol_ratio = (n_chars - n_alpha - n_digit - n_space) / safe
+    word_rep = 1.0 - len(set(tokens)) / n_tokens if n_tokens else 0.0
+    max_word = max((len(t) for t in tokens), default=0)
+
+    reasons = []
+    if not (n_chars >= cfg.min_chars):
+        reasons.append("too_short")
+    if not (n_chars <= cfg.max_chars):
+        reasons.append("too_long")
+    if not (n_tokens >= cfg.min_tokens):
+        reasons.append("too_few_tokens")
+    if not (n_tokens <= cfg.max_tokens):
+        reasons.append("too_many_tokens")
+    if not (alpha_ratio >= cfg.min_alpha_ratio):
+        reasons.append("low_alpha_ratio")
+    if not (digit_ratio <= cfg.max_digit_ratio):
+        reasons.append("high_digit_ratio")
+    if not (symbol_ratio <= cfg.max_symbol_ratio):
+        reasons.append("high_symbol_ratio")
+    if not (word_rep <= cfg.max_word_rep_ratio):
+        reasons.append("repetitive")
+    if not (max_word <= cfg.max_word_len):
+        reasons.append("long_word")
+    if role not in (cfg.valid_roles or VALID_ROLES):  # null role fails too
+        reasons.append("invalid_role")
+    if cfg.enforce_tool_consistency and ((role == "tool") != (tool is not None)):
+        reasons.append("tool_inconsistent")
+    if cfg.max_ppl is not None and not (ppl <= cfg.max_ppl):
+        reasons.append("high_perplexity")
+
+    return {
+        "conv_id": row.get("conv_id"),
+        "turn_idx": row.get("turn_idx"),
+        "text_scrubbed": scrubbed,
+        "lang": lang,
+        "lang_conf": lang_conf,
+        "ppl": ppl,
+        "keep": not reasons,
+        "drop_reasons": reasons,
+    }

@@ -1,0 +1,67 @@
+"""The F1/byte-parity gate (north rule: F1 ≥ 0.99 vs reference labels,
+byte-identical scrubbed text).
+
+The Spark pipeline's (text_scrubbed, keep, drop_reasons) must match the
+independent pure-Python labeler (tests/oracle.py) on every row of the
+synthetic transcript table. Expectation on this deterministic fixture
+is EXACT agreement (F1 = 1.0), which subsumes the ≥ 0.99 bar.
+"""
+
+import pytest
+
+from gs_mcp_proxy_pii_redactor_spark.kernel import Matcher
+from gs_mcp_proxy_pii_redactor_spark.plans import ScrubJobConfig, build_pipeline
+from gs_mcp_proxy_pii_redactor_spark.sources import (
+    PARITY_DICTIONARY,
+    synthesize_transcripts,
+)
+from tests.oracle import label_row
+
+pytestmark = pytest.mark.spark
+
+
+def test_f1_and_byte_parity(spark, sf_dir):
+    transcripts = synthesize_transcripts(spark, sf_dir, turns_per_doc=3)
+    cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
+    result = build_pipeline(spark, transcripts, cfg)
+
+    rows = result.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        "text_scrubbed", "keep", "drop_reasons", "lang", "ppl",
+    ).collect()
+    assert rows
+
+    matcher = Matcher.build(list(PARITY_DICTIONARY))
+    tp = fp = fn = tn = 0
+    byte_mismatches = []
+    label_mismatches = []
+    for r in rows:
+        oracle = label_row(
+            {"conv_id": r.conv_id, "turn_idx": r.turn_idx, "role": r.role,
+             "text": r.text, "tool": r.tool},
+            matcher,
+            cfg.quality,
+        )
+        if r.text_scrubbed != oracle["text_scrubbed"]:
+            byte_mismatches.append((r.text, r.text_scrubbed, oracle["text_scrubbed"]))
+        if bool(r.keep) != oracle["keep"] or list(r.drop_reasons) != oracle["drop_reasons"]:
+            label_mismatches.append(
+                (r.text[:60], r.role, list(r.drop_reasons), oracle["drop_reasons"])
+            )
+        if r.keep and oracle["keep"]:
+            tp += 1
+        elif r.keep and not oracle["keep"]:
+            fp += 1
+        elif not r.keep and oracle["keep"]:
+            fn += 1
+        else:
+            tn += 1
+
+    assert not byte_mismatches, byte_mismatches[:3]
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    assert f1 >= 0.99, (f1, label_mismatches[:5])
+    # on this deterministic fixture we expect exact agreement
+    assert not label_mismatches, label_mismatches[:5]
+    assert f1 == 1.0

@@ -1,0 +1,57 @@
+"""Spark-free tests for langid / perplexity / quality-expression configs."""
+
+import numpy as np
+
+from gs_mcp_proxy_pii_redactor_spark.functions.langid import detect_language
+from gs_mcp_proxy_pii_redactor_spark.functions.perplexity import (
+    batch_char_perplexity,
+    char_perplexity,
+)
+
+
+def test_langid_basics():
+    assert detect_language("the quick brown fox and the lazy dog")[0] == "en"
+    assert detect_language("der hund und die katze sind nicht im haus")[0] == "de"
+    assert detect_language("le chat et le chien sont dans la maison")[0] == "fr"
+    assert detect_language("el perro y el gato están en la casa")[0] == "es"
+    assert detect_language("这是一个中文句子，用来测试语言识别")[0] == "zh"
+    assert detect_language("Это русский текст для проверки языка")[0] == "ru"
+    assert detect_language("")[0] == "und"
+    assert detect_language(None)[0] == "und"
+    assert detect_language("12345 !!! ???")[0] == "und"
+
+
+def test_langid_deterministic():
+    t = "the cat sat on the mat with the hat"
+    assert detect_language(t) == detect_language(t)
+
+
+def test_perplexity_orders_quality():
+    clean = "this is a normal english sentence with common words."
+    noise = "qzxj wvk qq zzz xqj kkv zzqx jjj wwx qqq zxv"
+    assert 0 < char_perplexity(clean) < char_perplexity(noise)
+    assert char_perplexity("") == 0.0
+    assert char_perplexity("a") == 0.0
+
+
+def test_batch_perplexity_matches_scalar():
+    texts = [
+        "this is a normal english sentence with common words.",
+        "",
+        None,
+        "a",
+        "qzxj wvk qq zzz xqj",
+        "Ünïcödé tèxt wìth áccents and the usual words",
+        "x" * 5000,  # exceeds max_chars, exercises truncation
+        "the rain in spain stays mainly in the plain",
+    ]
+    batch = batch_char_perplexity(texts)
+    scalar = np.array(
+        [char_perplexity(t) if isinstance(t, str) else 0.0 for t in texts]
+    )
+    np.testing.assert_allclose(batch, scalar, rtol=1e-12)
+
+
+def test_batch_perplexity_empty():
+    assert batch_char_perplexity([]).shape == (0,)
+    assert list(batch_char_perplexity([None, ""])) == [0.0, 0.0]

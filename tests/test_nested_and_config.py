@@ -1,0 +1,133 @@
+"""Nested JSON scrub (T9/T10 at table level), config loader, audit frame."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from gs_mcp_proxy_pii_redactor_spark.kernel import (
+    Matcher,
+    redact_all_strings,
+)
+from gs_mcp_proxy_pii_redactor_spark.plans.config import (
+    interpolate_env,
+    load_job_config,
+)
+
+PAYLOAD = {
+    "summary": "Case for Romario",
+    "href": "mailto:someone@example.com",
+    "nested": {"note": "Romario is in nested note with email a.b@example.com"},
+    "list": ["GaryPratt appears here", {"inner": "Call me at +44 20 7946 0958"}, "no pii"],
+    "num": 42,
+    "flag": True,
+    "none": None,
+}
+
+
+def test_interpolate_env():
+    assert interpolate_env("x-${FOO}-y", {"FOO": "1"}) == "x-1-y"
+    with pytest.raises(KeyError):
+        interpolate_env("${MISSING_VAR_XYZ}", {})
+
+
+def test_load_job_config(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({
+        "enabled": True,
+        "dictionary": ["a", "b"],
+        "verbose_audit": True,
+        "quality": {"min_chars": 10, "max_ppl": 300.0},
+        "tool_filter": {"mode": "allow", "list": ["t1"]},
+    }))
+    cfg = load_job_config(str(p))
+    assert cfg.enabled and cfg.dictionary == ("a", "b")
+    assert cfg.quality.min_chars == 10 and cfg.quality.max_ppl == 300.0
+    assert cfg.tool_filter.mode == "allow" and cfg.tool_filter.keeps("t1")
+    assert not cfg.tool_filter.keeps("t2")
+    # block mode + unknown mode semantics (reference F1)
+    from gs_mcp_proxy_pii_redactor_spark.plans.config import ToolFilterConfig
+    assert not ToolFilterConfig("block", ("x",)).keeps("x")
+    assert ToolFilterConfig("weird", ("x",)).keeps("x")
+
+
+@pytest.mark.spark
+def test_scrub_json_udf_matches_kernel(spark):
+    from gs_mcp_proxy_pii_redactor_spark.functions.nested import (
+        make_scrub_json_udf,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.sources import PARITY_DICTIONARY
+
+    raw = json.dumps(PAYLOAD, ensure_ascii=False, separators=(",", ":"))
+    df = spark.createDataFrame(
+        [(0, raw), (1, "not json at all, email x@y.io and Chieh"), (2, None)],
+        ["id", "payload"],
+    )
+    scrub = make_scrub_json_udf(PARITY_DICTIONARY, spark=spark)
+    got = {r.id: r.s for r in df.withColumn("s", scrub("payload")).collect()}
+
+    m = Matcher.build(list(PARITY_DICTIONARY))
+    expected0 = json.dumps(
+        redact_all_strings(PAYLOAD, m), ensure_ascii=False, separators=(",", ":")
+    )
+    assert got[0] == expected0
+    assert json.loads(got[0])["num"] == 42  # non-strings untouched
+    assert "[REDACTED]" in got[1] and "Chieh" not in got[1]
+    assert got[2] is None
+
+
+@pytest.mark.spark
+def test_scrub_json_udf_keyed(spark):
+    from gs_mcp_proxy_pii_redactor_spark.functions.nested import (
+        make_scrub_json_udf,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.kernel import redact_by_keys
+    from gs_mcp_proxy_pii_redactor_spark.sources import PARITY_DICTIONARY
+
+    raw = json.dumps(PAYLOAD, ensure_ascii=False, separators=(",", ":"))
+    df = spark.createDataFrame([(0, raw)], ["id", "payload"])
+    scrub = make_scrub_json_udf(PARITY_DICTIONARY, keys=["href"], spark=spark)
+    got = df.withColumn("s", scrub("payload")).first().s
+    m = Matcher.build(list(PARITY_DICTIONARY))
+    assert got == json.dumps(
+        redact_by_keys(PAYLOAD, ["href"], m),
+        ensure_ascii=False,
+        separators=(",", ":"),
+    )
+
+
+@pytest.mark.spark
+def test_extract_strings_udf(spark):
+    from gs_mcp_proxy_pii_redactor_spark.functions.nested import (
+        make_extract_strings_udf,
+    )
+
+    raw = json.dumps({"a": "x", "b": {"c": ["y", 5, "z"]}})
+    df = spark.createDataFrame([(0, raw)], ["id", "payload"])
+    ext = make_extract_strings_udf()
+    leaves = df.select(F.explode(ext("payload")).alias("l")).select(
+        "l.path", "l.value"
+    ).collect()
+    got = {(r.path, r.value) for r in leaves}
+    assert got == {("a", "x"), ("b.c[0]", "y"), ("b.c[2]", "z")}
+
+
+@pytest.mark.spark
+def test_audit_frame(spark, sf_dir):
+    from gs_mcp_proxy_pii_redactor_spark.plans import ScrubJobConfig, build_pipeline
+    from gs_mcp_proxy_pii_redactor_spark.plans.job import audit_frame
+    from gs_mcp_proxy_pii_redactor_spark.sources import (
+        PARITY_DICTIONARY,
+        synthesize_transcripts,
+    )
+
+    t = synthesize_transcripts(spark, sf_dir, turns_per_doc=2)
+    result = build_pipeline(
+        spark, t, ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
+    )
+    audit = audit_frame(result)
+    rows = audit.limit(20).collect()
+    assert rows
+    for r in rows:
+        assert r.text_pre != r.text_post
+        assert len(r.op_id) == 36  # uuid

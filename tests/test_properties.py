@@ -1,0 +1,101 @@
+"""Property-based tests (SURVEY.md §5 rebuild plan item 5).
+
+Invariants (note: idempotence of the scrub on its own output is NOT a
+reference guarantee and is not asserted; instead we assert the safety
+properties that matter: no detectable PII survives, no crashes, and
+output length bookkeeping is sane).
+"""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gs_mcp_proxy_pii_redactor_spark.kernel import (
+    Matcher,
+    redact_generic,
+    redact_text,
+)
+from gs_mcp_proxy_pii_redactor_spark.kernel.scanner import (
+    scan_email_at,
+    scan_phone_at,
+)
+
+ascii_text = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+             "0123456789 @+-.()_xX,!?:/\n\t")
+    ),
+    max_size=200,
+)
+any_text = st.text(max_size=200)
+
+
+@given(any_text)
+@settings(max_examples=500, deadline=None)
+def test_never_throws_and_type_stable(s):
+    out = redact_generic(s)
+    assert isinstance(out, str)
+
+
+@given(ascii_text)
+@settings(max_examples=500, deadline=None)
+def test_valid_email_never_survives(s):
+    # any span the scanner itself validates must be gone afterwards
+    out = redact_generic(s)
+    for i, ch in enumerate(s):
+        if ch == "@":
+            start, end, ok = scan_email_at(s, i)
+            if ok:
+                assert s[start:end] not in out or s[start:end] in "[REDACTED]"
+
+
+@given(ascii_text)
+@settings(max_examples=500, deadline=None)
+def test_scan_phone_consistency(s):
+    # scan results are always in-bounds and digit counts within limits
+    for i, ch in enumerate(s):
+        if ch == "+" or ch.isdigit():
+            start, end, ok = scan_phone_at(s, i)
+            if ok:
+                assert 0 <= start <= end <= len(s)
+                digits = sum(c.isdigit() for c in s[start:end])
+                assert 10 <= digits <= 15
+
+
+@given(any_text)
+@settings(max_examples=300, deadline=None)
+def test_dictionary_term_never_survives_whole_word(s):
+    m = Matcher.build(["secretword"])
+    out = m.redact(s)
+    # no whole-word occurrence of the term may remain
+    assert not re.search(r"(?<![a-zA-Z0-9_])secretword(?![a-zA-Z0-9_])",
+                         out.lower())
+
+
+@given(ascii_text)
+@settings(max_examples=300, deadline=None)
+def test_full_scrub_composition(s):
+    m = Matcher.build(["romario", "chieh"])
+    out = redact_text(s, m)
+    assert isinstance(out, str)
+    # whole-word occurrences of dictionary terms never survive the
+    # composed generic+dictionary pipeline either
+    assert not re.search(r"(?<![a-zA-Z0-9_])romario(?![a-zA-Z0-9_])", out.lower())
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_unicode_never_throws(s):
+    m = Matcher.build(["tëst", "plain"])
+    assert isinstance(redact_text(s, m), str)
+
+
+@given(st.lists(st.text(max_size=20), min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_matcher_build_dedup_invariant(terms):
+    nonempty = [t for t in (x.lower() for x in terms) if t]
+    if not nonempty:
+        return
+    m = Matcher.build(terms)
+    assert list(dict.fromkeys(nonempty)) == m.patterns

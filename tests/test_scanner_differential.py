@@ -1,0 +1,73 @@
+"""Differential test: the digit-run fast path vs the naive restart loop.
+
+The naive loop below is a direct transliteration of the reference's
+redactGeneric control flow (scanner-generic.ts:16-46) using the same
+scan_email_at/scan_phone_at primitives; redact_generic adds an O(run)
+fast path for long pure digit runs that must be observationally
+identical.
+"""
+
+import random
+
+from gs_mcp_proxy_pii_redactor_spark.kernel.scanner import (
+    _DIGITS,
+    REDACTED,
+    redact_generic,
+    scan_email_at,
+    scan_phone_at,
+)
+
+
+def naive_redact_generic(s: str) -> str:
+    if not s:
+        return s
+    n = len(s)
+    res: list[str] = []
+    lw = 0
+    i = 0
+    while i < n:
+        c = s[i]
+        if c == "@":
+            st, en, ok = scan_email_at(s, i)
+            if ok:
+                if st > lw:
+                    res.append(s[lw:st])
+                res.append(REDACTED)
+                lw = en
+                i = en
+                continue
+        if c == "+" or c in _DIGITS:
+            st, en, ok = scan_phone_at(s, i, 10, 15)
+            if ok:
+                if st > lw:
+                    res.append(s[lw:st])
+                res.append(REDACTED)
+                lw = en
+                i = en
+                continue
+        i += 1
+    if lw == 0:
+        return s
+    if lw < n:
+        res.append(s[lw:])
+    return "".join(res)
+
+
+def test_differential_random():
+    rng = random.Random(42)
+    alphabet = list("0123456789abc @+-.()xX_00")
+    for _ in range(10000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        assert naive_redact_generic(s) == redact_generic(s), repr(s)
+
+
+def test_differential_digit_walls():
+    cases = [
+        "9" * 300, "00" + "9" * 298, "a" + "9" * 50, "9" * 50 + "x",
+        "9" * 50 + " ", "9" * 17, "0" * 16, "x9" * 30, "+" + "9" * 20,
+        "1" * 12, "00" + "1" * 11, "9" * 20 + "b", "9" * 14, "9" * 15,
+        "9" * 16, "009999999999", "e@f2.cc" + "9" * 30, "9" * 16 + ")",
+        "9" * 16 + "(", "9" * 16 + ".", "_" + "9" * 20,
+    ]
+    for c in cases:
+        assert naive_redact_generic(c) == redact_generic(c), repr(c)

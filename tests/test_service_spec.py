@@ -1,0 +1,164 @@
+"""Ported assertions from redaction.service.spec.ts:103-271.
+
+Reference dictionary mock = ['john', 'jane', 'doe']
+(redaction.service.spec.ts:13 — both GCS files return the same list;
+the Matcher dedups).
+"""
+
+import pytest
+
+from gs_mcp_proxy_pii_redactor_spark.kernel import (
+    Matcher,
+    RedactionConfig,
+    load_dictionary_lines,
+    redact_response,
+)
+
+
+@pytest.fixture(scope="module")
+def matcher():
+    # two "files" concatenated then deduped at build, like the service
+    terms = load_dictionary_lines("john\njane\ndoe") * 2
+    return Matcher.build(terms)
+
+
+EN = RedactionConfig(enabled=True)
+
+
+def test_null_config(matcher):
+    data = {"name": "john", "email": "test@example.com"}
+    assert redact_response(data, None, matcher) == data
+
+
+def test_disabled(matcher):
+    data = {"name": "john", "email": "test@example.com"}
+    assert redact_response(data, RedactionConfig(enabled=False), matcher) == data
+
+
+def test_no_matcher():
+    data = {"name": "john", "email": "test@example.com"}
+    assert redact_response(data, EN, None) == data
+
+
+def test_redact_all_no_keys(matcher):
+    out = redact_response({"name": "john", "age": 25}, EN, matcher)
+    assert out == {"name": "[REDACTED]", "age": 25}
+
+
+def test_redact_all_empty_keys(matcher):
+    cfg = RedactionConfig(enabled=True, keys=())
+    out = redact_response({"name": "john", "age": 25}, cfg, matcher)
+    assert out == {"name": "[REDACTED]", "age": 25}
+
+
+def test_keys_selected_only(matcher):
+    cfg = RedactionConfig(enabled=True, keys=("name",))
+    data = {"name": "john", "description": "this is a description", "age": 25}
+    out = redact_response(data, cfg, matcher)
+    assert out == {
+        "name": "[REDACTED]",
+        "description": "this is a description",
+        "age": 25,
+    }
+
+
+def test_nested_all(matcher):
+    out = redact_response(
+        {"user": {"name": "john", "email": "test@test.com"}}, EN, matcher
+    )
+    assert out["user"]["name"] == "[REDACTED]"
+    assert out["user"]["email"] == "[REDACTED]"
+
+
+def test_nested_by_keys(matcher):
+    cfg = RedactionConfig(enabled=True, keys=("name",))
+    out = redact_response({"user": {"name": "john", "age": 25}}, cfg, matcher)
+    assert out == {"user": {"name": "[REDACTED]", "age": 25}}
+
+
+def test_arrays_all(matcher):
+    out = redact_response({"names": ["john", "jane", "bob"]}, EN, matcher)
+    assert out["names"] == ["[REDACTED]", "[REDACTED]", "bob"]
+
+
+def test_arrays_by_keys(matcher):
+    cfg = RedactionConfig(enabled=True, keys=("names",))
+    out = redact_response(
+        {"names": ["john", "jane"], "ages": [25, 30]}, cfg, matcher
+    )
+    assert out == {"names": ["[REDACTED]", "[REDACTED]"], "ages": [25, 30]}
+
+
+def test_arrays_of_objects(matcher):
+    out = redact_response(
+        {"users": [{"name": "john"}, {"name": "jane"}]}, EN, matcher
+    )
+    assert out == {"users": [{"name": "[REDACTED]"}, {"name": "[REDACTED]"}]}
+
+
+def test_arrays_of_objects_by_keys(matcher):
+    cfg = RedactionConfig(enabled=True, keys=("name",))
+    out = redact_response({"users": [{"name": "john", "age": 25}]}, cfg, matcher)
+    assert out == {"users": [{"name": "[REDACTED]", "age": 25}]}
+
+
+def test_generic_before_dictionary(matcher):
+    # redaction.service.spec.ts:193-197: email goes first (generic),
+    # then 'john' via dictionary
+    out = redact_response({"contact": "john at john@example.com"}, EN, matcher)
+    assert out == {"contact": "[REDACTED] at [REDACTED]"}
+
+
+def test_non_string_values(matcher):
+    data = {"string": "john", "number": 42, "boolean": True, "null": None}
+    out = redact_response(data, EN, matcher)
+    assert out == {
+        "string": "[REDACTED]",
+        "number": 42,
+        "boolean": True,
+        "null": None,
+    }
+
+
+def test_deeply_nested(matcher):
+    data = {"level1": {"level2": {"level3": {"name": "john"}}}}
+    out = redact_response(data, EN, matcher)
+    assert out["level1"]["level2"]["level3"]["name"] == "[REDACTED]"
+
+
+def test_mixed_arrays_objects(matcher):
+    data = {
+        "users": [
+            {"name": "john", "contacts": ["john@test.com", "jane@test.com"]},
+            {"name": "jane", "contacts": []},
+        ]
+    }
+    out = redact_response(data, EN, matcher)
+    assert out["users"][0]["name"] == "[REDACTED]"
+    assert out["users"][0]["contacts"] == ["[REDACTED]", "[REDACTED]"]
+    assert out["users"][1]["name"] == "[REDACTED]"
+    assert out["users"][1]["contacts"] == []
+
+
+def test_keys_at_all_levels(matcher):
+    cfg = RedactionConfig(enabled=True, keys=("name",))
+    data = {"name": "john", "user": {"name": "jane", "profile": {"name": "doe"}}}
+    out = redact_response(data, cfg, matcher)
+    assert out == {
+        "name": "[REDACTED]",
+        "user": {"name": "[REDACTED]", "profile": {"name": "[REDACTED]"}},
+    }
+
+
+def test_key_match_redacts_subtree(matcher):
+    cfg = RedactionConfig(enabled=True, keys=("name",))
+    data = {"user": {"name": "john", "details": {"age": 25, "name": "jane"}}}
+    out = redact_response(data, cfg, matcher)
+    assert out["user"]["name"] == "[REDACTED]"
+    assert out["user"]["details"] == {"age": 25, "name": "[REDACTED]"}
+
+
+def test_dictionary_load_parity():
+    # redaction.service.ts:159-163: split, trim, drop empties
+    text = "  john  \n\njane\n  \ndoe\n"
+    assert load_dictionary_lines(text) == ["john", "jane", "doe"]

@@ -1,0 +1,50 @@
+"""Structured Streaming scrub: stream output must equal batch output."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gs_mcp_proxy_pii_redactor_spark.plans import ScrubJobConfig, build_pipeline
+from gs_mcp_proxy_pii_redactor_spark.sources import (
+    PARITY_DICTIONARY,
+    synthesize_transcripts,
+)
+from gs_mcp_proxy_pii_redactor_spark.streaming import run_scrub_stream
+
+pytestmark = pytest.mark.spark
+
+
+def test_stream_equals_batch(spark, sf_dir, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    transcripts = synthesize_transcripts(spark, sf_dir, turns_per_doc=2)
+    transcripts.write.parquet(inp)
+
+    cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
+    q = run_scrub_stream(spark, inp, out, ckpt, cfg, available_now=True)
+    q.awaitTermination(180)
+
+    stream_out = spark.read.parquet(out)
+    batch_out = build_pipeline(spark, spark.read.parquet(inp), cfg)
+
+    assert stream_out.count() == batch_out.count()
+    key = ["conv_id", "turn_idx"]
+    joined = stream_out.select(
+        *key, F.col("text_scrubbed").alias("s_stream"), F.col("keep").alias("k_stream")
+    ).join(
+        batch_out.select(
+            *key, F.col("text_scrubbed").alias("s_batch"), F.col("keep").alias("k_batch")
+        ),
+        key,
+    )
+    mism = joined.filter(
+        (F.col("s_stream") != F.col("s_batch"))
+        | (F.col("k_stream") != F.col("k_batch"))
+    ).count()
+    assert mism == 0
+
+    # restart with same checkpoint: no duplicate output (exactly-once sink)
+    q2 = run_scrub_stream(spark, inp, out, ckpt, cfg, available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == batch_out.count()
