@@ -568,6 +568,250 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 # ---------------------------------------------------------------------------
+# Q19 — broadcast join + aggregation (customer × orders; the small dim
+# side is explicitly broadcast — the plan a 100 TB fact join wants)
+
+
+def q19_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q19_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+# ---------------------------------------------------------------------------
+# Q23 — three-way join chain (customer × nation × region rollup)
+
+
+def q23_customers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*").cast("double"),
+                4,
+            ).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_Q23_SQL = """
+SELECT r_name, COUNT(*) AS n_customers,
+       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+# ---------------------------------------------------------------------------
+# Q24 — semi/anti joins proper (suppliers with/without any part match by
+# nation of heavy customers — exercised as real joins, not IN-lists)
+
+
+def q24_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    supp = read_table(spark, sf_dir, "supplier")
+    rich_nations = (
+        cust.filter(F.col("c_acctbal") > 9900)
+        .select("c_nationkey")
+        .distinct()
+    )
+    semi = (
+        supp.join(
+            rich_nations, supp.s_nationkey == rich_nations.c_nationkey, "left_semi"
+        )
+        .select(F.lit("semi").alias("side"), "s_suppkey")
+    )
+    anti = (
+        supp.join(
+            rich_nations, supp.s_nationkey == rich_nations.c_nationkey, "left_anti"
+        )
+        .select(F.lit("anti").alias("side"), "s_suppkey")
+    )
+    return (
+        semi.unionAll(anti)
+        .groupBy("side")
+        .agg(F.count("*").alias("n_suppliers"))
+        .orderBy("side")
+    )
+
+
+_Q24_SQL = """
+WITH rich AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 9900)
+SELECT side, COUNT(*) AS n_suppliers FROM (
+  SELECT 'semi' AS side, s_suppkey FROM supplier
+  WHERE s_nationkey IN (SELECT c_nationkey FROM rich)
+  UNION ALL
+  SELECT 'anti' AS side, s_suppkey FROM supplier
+  WHERE s_nationkey NOT IN (SELECT c_nationkey FROM rich)
+) t GROUP BY side ORDER BY side
+"""
+
+# ---------------------------------------------------------------------------
+# Q25 — JSON payload extraction (events.props)
+
+
+def q25_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(k).cast("double") / F.count("*").cast("double"), 4
+            ).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q25_SQL = """
+SELECT event_type,
+       round(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Q26 — stopword-ratio quality heuristic (C4/Gopher-style, JVM-side)
+
+_STOPS = ("the", "and", "of", "to", "a", "in", "is", "for", "with", "on")
+
+
+def q26_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPS)))
+    ratio = F.when(
+        F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stopword_ratio"),
+        (F.round(ratio, 6) >= 0.02).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_Q26_SQL = """
+SELECT doc_id,
+       round(CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, t -> t IN
+                  ('the','and','of','to','a','in','is','for','with','on'))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END, 6) AS stopword_ratio,
+       (round(CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, t -> t IN
+                  ('the','and','of','to','a','in','is','for','with','on'))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END, 6) >= 0.02) AS keep
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents) t
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Q27 — exact dedup keep-min (the exact-dedup operator's SQL shadow)
+
+
+def q27_exact_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
+    keepers = (
+        docs.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("group_size"))
+    )
+    return keepers.select("doc_id", "group_size").orderBy("doc_id")
+
+
+_Q27_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+FROM documents
+GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Q28 — lead/lag deltas per key (stateful-window shape, A1 ordering)
+
+
+def q28_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.round(F.col("value") - F.lag("value").over(w), 4)
+    return (
+        ev.select("user_id", "event_id", delta.alias("value_delta"))
+        .filter(F.col("value_delta").isNotNull())
+        .orderBy("user_id", "event_id")
+    )
+
+
+_Q28_SQL = """
+SELECT user_id, event_id, value_delta FROM (
+  SELECT user_id, event_id,
+         round(value - LAG(value) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id), 4) AS value_delta
+  FROM events
+) t WHERE value_delta IS NOT NULL
+ORDER BY user_id, event_id
+"""
+
+# ---------------------------------------------------------------------------
+# Q29 — exact median per group (sort-based aggregate)
+
+
+def q29_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value")
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q29_SQL = """
+SELECT event_type,
+       round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS DOUBLE), 4)
+         AS median_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
 # Non-SQL-expressible queries (rows-only driver check): exact kernel scrub,
 # langid, minhash dedup — the driver records a weaker check; pytest holds
 # the strong parity assertions for these.
@@ -630,6 +874,14 @@ QUERIES = {
     "q16_lang_source_rollup": q16_lang_source_rollup,
     "q17_topk_docs": q17_topk_docs,
     "q18_event_values": q18_event_values,
+    "q19_orders_by_segment": q19_orders_by_segment,
+    "q23_customers_by_region": q23_customers_by_region,
+    "q24_semi_anti_join": q24_semi_anti_join,
+    "q25_props_json": q25_props_json,
+    "q26_stopword_ratio": q26_stopword_ratio,
+    "q27_exact_dedup_keepers": q27_exact_dedup_keepers,
+    "q28_value_deltas": q28_value_deltas,
+    "q29_median_value": q29_median_value,
     "q20_kernel_scrub": q20_kernel_scrub,
     "q21_langid": q21_langid,
     "q22_minhash_signatures": q22_minhash_signatures,
@@ -654,6 +906,14 @@ ORACLE_SQL = {
     "q16_lang_source_rollup": _Q16_SQL,
     "q17_topk_docs": _Q17_SQL,
     "q18_event_values": _Q18_SQL,
+    "q19_orders_by_segment": _Q19_SQL,
+    "q23_customers_by_region": _Q23_SQL,
+    "q24_semi_anti_join": _Q24_SQL,
+    "q25_props_json": _Q25_SQL,
+    "q26_stopword_ratio": _Q26_SQL,
+    "q27_exact_dedup_keepers": _Q27_SQL,
+    "q28_value_deltas": _Q28_SQL,
+    "q29_median_value": _Q29_SQL,
     # q20/q21/q22: kernel scrub, langid, minhash — not SQL-expressible,
     # rows-only driver check; pytest carries the strong assertions.
 }
