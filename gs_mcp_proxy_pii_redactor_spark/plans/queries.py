@@ -837,6 +837,15 @@ def q20_kernel_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q21_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID over documents (rows-only check).
+
+    NOTE: the testdata's ``lang`` column is synthetic metadata — every
+    document body is the same English-ish tech vocabulary regardless of
+    its label (verified by inspection), so agreement with that column
+    is not a meaningful accuracy metric. Real-language accuracy is
+    pinned in tests/test_functions.py and tests/test_udfs_spark.py with
+    genuine en/de/fr/es/zh/ru sentences.
+    """
     from ..functions.udfs import make_langid_udf
 
     docs = read_table(spark, sf_dir, "documents")

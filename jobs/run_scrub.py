@@ -1,0 +1,135 @@
+"""spark-submit entrypoint for the scrub + quality-filter pipeline.
+
+Cluster launch (north-rule deployment shape):
+
+    python tools/make_pyfiles.py
+    spark-submit --master <cluster> \
+        --py-files dist/gs_pii_redactor_pyfiles.zip \
+        jobs/run_scrub.py \
+        --input  <transcripts path or iceberg table> \
+        --output <output path> \
+        --dictionary-file names.txt --dictionary-file emails.txt \
+        --metrics <metrics path> --manifest <manifest path> --resume
+
+Local smoke:
+
+    spark-submit --master local[8] \
+        --py-files dist/gs_pii_redactor_pyfiles.zip \
+        jobs/run_scrub.py --input /tmp/t_in --output /tmp/t_out \
+        --dictionary-inline Romario,GaryPratt,Chieh
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="transcript table path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument("--metrics", default=None, help="metrics output path")
+    p.add_argument("--audit", default=None, help="audit side-output path")
+    p.add_argument(
+        "--dictionary-file",
+        action="append",
+        default=[],
+        help="PII term list file (repeatable; reference: names.txt,emails.txt)",
+    )
+    p.add_argument(
+        "--dictionary-inline",
+        default=None,
+        help="comma-separated terms (testing convenience)",
+    )
+    p.add_argument("--config", default=None, help="job config JSON path")
+    p.add_argument("--manifest", default=None, help="resume manifest path")
+    p.add_argument("--resume", action="store_true", help="skip complete buckets")
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--wave-size", type=int, default=8)
+    p.add_argument("--disable-extended-pii", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("gs-pii-redactor-scrub")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    from gs_mcp_proxy_pii_redactor_spark.plans import (
+        ScrubJobConfig,
+        load_job_config,
+        run_job,
+        run_resumable_job,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.sources import (
+        load_dictionary,
+        read_transcripts,
+    )
+
+    if args.config:
+        cfg = load_job_config(args.config)
+    else:
+        cfg = ScrubJobConfig()
+
+    terms: list[str] = list(cfg.dictionary)
+    if args.dictionary_file:
+        terms += load_dictionary(spark, *args.dictionary_file)
+    if args.dictionary_inline:
+        terms += [t.strip() for t in args.dictionary_inline.split(",") if t.strip()]
+    if not terms:
+        print("WARNING: empty dictionary — dictionary stage disabled "
+              "(reference gate semantics)", file=sys.stderr)
+
+    cfg = ScrubJobConfig(
+        enabled=cfg.enabled,
+        text_columns=cfg.text_columns,
+        dictionary=tuple(terms),
+        verbose_audit=bool(args.audit) or cfg.verbose_audit,
+        extended_pii=cfg.extended_pii and not args.disable_extended_pii,
+        quality=cfg.quality,
+        tool_filter=cfg.tool_filter,
+        repartition=cfg.repartition,
+        skew_salt=cfg.skew_salt,
+    )
+
+    input_df = read_transcripts(spark, args.input, fmt=args.format)
+
+    if args.manifest:
+        run_id = run_resumable_job(
+            spark,
+            input_df,
+            cfg,
+            args.output,
+            args.manifest,
+            n_buckets=args.buckets,
+            wave_size=args.wave_size,
+        )
+        print(f"resumable run complete: run_id={run_id}")
+    else:
+        run_job(spark, input_df, cfg, args.output, args.metrics)
+        print("run complete")
+
+    if args.audit:
+        from gs_mcp_proxy_pii_redactor_spark.plans import audit_frame, build_pipeline
+
+        result = spark.read.parquet(args.output)
+        if "text" in result.columns and "text_scrubbed" in result.columns:
+            audit_frame(result).write.mode("overwrite").parquet(args.audit)
+            print(f"audit written: {args.audit}")
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,37 @@
+"""Build the --py-files zip for spark-submit deployment.
+
+Usage: python tools/make_pyfiles.py [out_zip]
+Produces a zip of the package suitable for
+``spark-submit --py-files dist/gs_pii_redactor_pyfiles.zip jobs/run_scrub.py ...``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "gs_mcp_proxy_pii_redactor_spark"
+
+
+def build(out_zip: str) -> str:
+    os.makedirs(os.path.dirname(out_zip) or ".", exist_ok=True)
+    with zipfile.ZipFile(out_zip, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkg_root = os.path.join(REPO, PKG)
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, REPO)
+                    zf.write(full, rel)
+    return out_zip
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "dist", "gs_pii_redactor_pyfiles.zip"
+    )
+    print(build(out))
