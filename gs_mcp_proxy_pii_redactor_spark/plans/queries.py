@@ -812,6 +812,48 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 # ---------------------------------------------------------------------------
+# Q30 — embedding-cosine near-duplicate pairs, EXACT pair join
+# (oracle-checkable; the LSH-bucketed scale path is q31, rows-only)
+
+
+def q30_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_sim
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_Q30_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+def q31_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-dup pairs (approximate scale path; the
+    exact q30 is its correctness shadow at small SF). Rows-only check."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=0.3, n_bits=6
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # Non-SQL-expressible queries (rows-only driver check): exact kernel scrub,
 # langid, minhash dedup — the driver records a weaker check; pytest holds
 # the strong parity assertions for these.
@@ -891,6 +933,8 @@ QUERIES = {
     "q27_exact_dedup_keepers": q27_exact_dedup_keepers,
     "q28_value_deltas": q28_value_deltas,
     "q29_median_value": q29_median_value,
+    "q30_embedding_neardup_exact": q30_embedding_neardup_exact,
+    "q31_embedding_neardup_lsh": q31_embedding_neardup_lsh,
     "q20_kernel_scrub": q20_kernel_scrub,
     "q21_langid": q21_langid,
     "q22_minhash_signatures": q22_minhash_signatures,
@@ -923,6 +967,7 @@ ORACLE_SQL = {
     "q27_exact_dedup_keepers": _Q27_SQL,
     "q28_value_deltas": _Q28_SQL,
     "q29_median_value": _Q29_SQL,
+    "q30_embedding_neardup_exact": _Q30_SQL,
     # q20/q21/q22: kernel scrub, langid, minhash — not SQL-expressible,
     # rows-only driver check; pytest carries the strong assertions.
 }
