@@ -61,6 +61,8 @@ class ScrubJobConfig:
     dictionary: tuple[str, ...] = ()
     verbose_audit: bool = False
     extended_pii: bool = True
+    detect_lang: bool = True  # language-ID stage (fused into the UDF)
+    score_ppl: bool = True  # perplexity stage (fused into the UDF)
     quality: QualityConfig = field(default_factory=QualityConfig)
     tool_filter: ToolFilterConfig = field(default_factory=ToolFilterConfig)
     # scrub-stage parallelism; None = inherit upstream partitioning

@@ -59,10 +59,28 @@ def build_pipeline(
         )
 
     if cfg.enabled and cfg.dictionary:
-        analyze = make_analyze_udf(cfg.dictionary, spark)
-        df = df.withColumn("_a", analyze(F.col("text"))).select(
-            "*", "_a.text_scrubbed", "_a.lang", "_a.lang_conf", "_a.ppl"
-        ).drop("_a")
+        if cfg.detect_lang or cfg.score_ppl:
+            analyze = make_analyze_udf(cfg.dictionary, spark)
+            df = df.withColumn("_a", analyze(F.col("text"))).select(
+                "*", "_a.text_scrubbed", "_a.lang", "_a.lang_conf", "_a.ppl"
+            ).drop("_a")
+            if not cfg.detect_lang:
+                df = df.withColumn("lang", F.lit(None).cast("string")).withColumn(
+                    "lang_conf", F.lit(None).cast("double")
+                )
+            if not cfg.score_ppl:
+                df = df.withColumn("ppl", F.lit(None).cast("double"))
+        else:
+            # scrub-only fast mode: cheapest possible Python stage
+            from ..functions.udfs import make_scrub_udf
+
+            scrub = make_scrub_udf(cfg.dictionary, spark)
+            df = (
+                df.withColumn("text_scrubbed", scrub(F.col("text")))
+                .withColumn("lang", F.lit(None).cast("string"))
+                .withColumn("lang_conf", F.lit(None).cast("double"))
+                .withColumn("ppl", F.lit(None).cast("double"))
+            )
         if cfg.extended_pii:
             if cfg.verbose_audit:
                 df = df.withColumn(
@@ -84,15 +102,16 @@ def build_pipeline(
             .withColumn("ppl", make_perplexity_udf()(F.col("text")))
         )
 
+    has_lang = cfg.detect_lang or not (cfg.enabled and cfg.dictionary)
     df = with_quality_columns(
         df,
         cfg.quality,
         text_col="text",
         role_col="role" if "role" in df.columns else None,
         tool_col="tool" if "tool" in df.columns else None,
-        lang_col="lang",
-        lang_conf_col="lang_conf",
-        ppl_col="ppl",
+        lang_col="lang" if has_lang else None,
+        lang_conf_col="lang_conf" if has_lang else None,
+        ppl_col="ppl" if cfg.score_ppl else None,
     )
     if cfg.verbose_audit:
         # Audit analogue of the reference's pre/post file pair
