@@ -5,9 +5,11 @@ from .scrub_stream import (
     run_scrub_stream,
     streaming_drop_reason_counts,
 )
+from .stateful import conversation_state_stream
 
 __all__ = [
     "TRANSCRIPT_SCHEMA",
     "run_scrub_stream",
     "streaming_drop_reason_counts",
+    "conversation_state_stream",
 ]

@@ -1,0 +1,91 @@
+"""Custom stateful streaming operator: running per-conversation stats.
+
+Demonstrates the `applyInPandasWithState` path for operators Spark's
+built-in windowed aggregations can't express: an incrementally
+maintained per-conversation profile (turn count, kept count, redacted
+count, last turn index seen) that survives across micro-batches via the
+state store. Batch equivalence is pinned in tests (the final emitted
+row per conversation equals the batch groupBy).
+
+At scale this runs per conv_id group with state partitioned by the
+shuffle — hot conversations are bounded by state size (4 longs), not
+turn volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_turns", LongType()),
+        StructField("n_keep", LongType()),
+        StructField("n_redacted", LongType()),
+        StructField("max_turn_idx", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("n_keep", LongType()),
+        StructField("n_redacted", LongType()),
+        StructField("max_turn_idx", LongType()),
+    ]
+)
+
+
+def _update_conv_state(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    (conv_id,) = key
+    if state.exists:
+        n_turns, n_keep, n_redacted, max_idx = state.get
+    else:
+        n_turns = n_keep = n_redacted = 0
+        max_idx = -1
+    for pdf in pdfs:
+        n_turns += len(pdf)
+        n_keep += int(pdf["keep"].sum())
+        n_redacted += int((pdf["text"] != pdf["text_scrubbed"]).sum())
+        if len(pdf):
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+    state.update((n_turns, n_keep, n_redacted, max_idx))
+    yield pd.DataFrame(
+        [
+            {
+                "conv_id": conv_id,
+                "n_turns": n_turns,
+                "n_keep": n_keep,
+                "n_redacted": n_redacted,
+                "max_turn_idx": max_idx,
+            }
+        ]
+    )
+
+
+def conversation_state_stream(result_stream):
+    """Scrubbed-turn stream → running per-conversation stats stream."""
+    return (
+        result_stream.select(
+            "conv_id", "turn_idx", "text", "text_scrubbed", "keep"
+        )
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _update_conv_state,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -48,3 +48,63 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
     q2 = run_scrub_stream(spark, inp, out, ckpt, cfg, available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == batch_out.count()
+
+
+def test_stateful_conversation_stats(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running conv stats == batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from gs_mcp_proxy_pii_redactor_spark.streaming.stateful import (
+        conversation_state_stream,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.streaming.scrub_stream import (
+        TRANSCRIPT_SCHEMA,
+    )
+
+    inp = str(tmp_path / "sin")
+    cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
+    transcripts = synthesize_transcripts(spark, sf_dir, turns_per_doc=2)
+    batch_result = build_pipeline(spark, transcripts, cfg)
+    transcripts.write.parquet(inp)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .parquet(inp)
+    )
+    result_stream = build_pipeline(spark, stream, cfg)
+    stats = conversation_state_stream(result_stream)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("conv_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last emitted row per conversation == batch aggregate
+    got = {
+        r.conv_id: r
+        for r in spark.sql(
+            "select * from conv_state"
+        ).collect()  # update mode: latest state per key per batch
+    }
+    expected = {
+        r.conv_id: r
+        for r in batch_result.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum((F.col("text") != F.col("text_scrubbed")).cast("long")).alias(
+                "n_redacted"
+            ),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for cid, e in expected.items():
+        g = got[cid]
+        assert (g.n_turns, g.n_keep, g.n_redacted, g.max_turn_idx) == (
+            e.n_turns, e.n_keep, e.n_redacted, e.max_turn_idx
+        ), cid
