@@ -133,6 +133,19 @@ def run_bench(spark, sf_dir: str, turns_per_doc: int = TURNS_PER_DOC):
     timed("simhash_docs", lambda: simhash(docs, "doc_id", "text")
           .agg(F.bit_xor("simhash")).collect())
 
+    from gs_mcp_proxy_pii_redactor_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import (
+        q19_orders_by_segment,
+    )
+
+    timed("q19_broadcast_join", lambda: q19_orders_by_segment(spark, sf_dir).collect())
+    media = synthesize_media(spark, n=256)
+    timed("multimodal_features", lambda: extract_features(media)
+          .agg(F.sum("n_bytes")).collect())
+
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)

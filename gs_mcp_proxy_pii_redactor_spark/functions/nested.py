@@ -33,7 +33,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernel.matcher import Matcher
 from ..kernel.service import redact_all_strings, redact_by_keys
 from .udfs import _matcher_for, _resolve
 

@@ -13,7 +13,7 @@ The rule catalogue mirrors a web-scale training-data quality filter
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -19,7 +19,7 @@ are boilerplate/near-empty docs better handled by exact dedup).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
