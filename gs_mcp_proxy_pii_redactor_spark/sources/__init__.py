@@ -6,6 +6,7 @@ from .catalog import (
     load_dictionary,
     read_table,
     read_transcripts,
+    write_bucketed,
 )
 from .golden import GOLDEN_CASES, GOLDEN_INPUTS, GOLDEN_OUTPUTS, PARITY_DICTIONARY
 from .synth import synthesize_transcripts, write_transcripts
@@ -16,6 +17,7 @@ __all__ = [
     "load_dictionary",
     "read_table",
     "read_transcripts",
+    "write_bucketed",
     "GOLDEN_CASES",
     "GOLDEN_INPUTS",
     "GOLDEN_OUTPUTS",

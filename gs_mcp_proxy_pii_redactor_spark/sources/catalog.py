@@ -54,6 +54,21 @@ def read_transcripts(
     return spark.read.format(fmt).load(path)
 
 
+def write_bucketed(
+    df: DataFrame, table: str, n_buckets: int = 64, key: str = "conv_id"
+) -> None:
+    """Write a bucketed table so downstream equi-joins on ``key`` are
+    co-located (SortMergeJoin over `Bucketed: true` scans, zero
+    Exchange — verified in tests/test_bucketed_join.py). Iceberg
+    equivalent: ``partitionedBy(bucket(n, key))`` hidden partitioning."""
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
 def load_dictionary(spark: SparkSession, *paths: str, dedupe: bool = True) -> list[str]:
     """Load PII term lists from text files → driver list for broadcast.
 

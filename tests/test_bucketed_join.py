@@ -1,0 +1,29 @@
+"""Bucketed co-located join: the turns × conv-aggregate join (SURVEY J2)
+must run with ZERO Exchange when both sides are bucketed on conv_id."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gs_mcp_proxy_pii_redactor_spark.sources import synthesize_transcripts
+from gs_mcp_proxy_pii_redactor_spark.sources.catalog import write_bucketed
+
+pytestmark = pytest.mark.spark
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    t = synthesize_transcripts(spark, sf_dir, turns_per_doc=2)
+    stats = t.groupBy("conv_id").agg(F.count("*").alias("n_turns_conv"))
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(t, "t_turns_b", n_buckets=8)
+        write_bucketed(stats, "t_stats_b", n_buckets=8)
+        joined = spark.table("t_turns_b").join(spark.table("t_stats_b"), "conv_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == t.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_turns_b")
+        spark.sql("DROP TABLE IF EXISTS t_stats_b")
