@@ -3,6 +3,7 @@
 from .langid import detect_language
 from .perplexity import char_perplexity
 from .pii_extended import EXTENDED_PII_PATTERNS, extended_pii_hits, scrub_extended_pii
+from .toxicity import DEFAULT_TOXICITY_LEXICON, scrub_toxicity, toxicity_score
 from .quality import (
     QualityConfig,
     feature_columns,
@@ -27,6 +28,9 @@ __all__ = [
     "EXTENDED_PII_PATTERNS",
     "extended_pii_hits",
     "scrub_extended_pii",
+    "DEFAULT_TOXICITY_LEXICON",
+    "scrub_toxicity",
+    "toxicity_score",
     "QualityConfig",
     "feature_columns",
     "rule_predicates",

@@ -35,6 +35,7 @@ class QualityConfig:
     max_word_rep_ratio: float = 0.90
     max_word_len: int = 200
     max_ppl: float | None = 500.0
+    max_toxicity_ratio: float | None = None
     min_lang_conf: float | None = None
     allowed_langs: tuple[str, ...] | None = None
     valid_roles: tuple[str, ...] = VALID_ROLES
@@ -134,6 +135,7 @@ def rules_from_features(
     lang_col: str | None = None,
     lang_conf_col: str | None = None,
     ppl_col: str | None = None,
+    toxicity_col: str | None = None,
 ) -> dict[str, Column]:
     """Rule-name → pass-predicate, built from given feature columns
     (pass ``F.col`` references to reuse materialized features instead of
@@ -159,6 +161,10 @@ def rules_from_features(
     if ppl_col is not None and cfg.max_ppl is not None:
         rules["high_perplexity"] = F.coalesce(
             F.col(ppl_col) <= cfg.max_ppl, F.lit(False)
+        )
+    if toxicity_col is not None and cfg.max_toxicity_ratio is not None:
+        rules["toxic"] = F.coalesce(
+            F.col(toxicity_col) <= cfg.max_toxicity_ratio, F.lit(False)
         )
     if lang_col is not None and cfg.allowed_langs is not None:
         rules["disallowed_lang"] = F.col(lang_col).isin(*cfg.allowed_langs)

@@ -1,0 +1,65 @@
+"""Toxicity heuristics — lexicon-based scoring and masking.
+
+North-star requirement (BASELINE.json: "PII/toxicity-scrub pipeline").
+No toxicity model ships in this sandbox, so this is the classic
+lexicon tier: a deterministic embedded word list (mild, public-knowledge
+profanity/insult terms — deployments override with their own lists via
+``lexicon=``), scored as a whole-word token ratio in native expressions
+and optionally masked through the SAME whole-word Matcher machinery as
+the PII dictionary (case-insensitive, overlap-merged, byte-exact
+semantics — kernel/matcher.py).
+
+A model-based scorer (e.g. a distilled classifier) would slot in as one
+more column in the fused analyze UDF; the rule wiring below would not
+change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mild default lexicon (public-knowledge profanity/insults). Real
+# deployments pass their own curated list.
+DEFAULT_TOXICITY_LEXICON: tuple[str, ...] = (
+    "damn", "hell", "crap", "idiot", "stupid", "moron", "dumb",
+    "jerk", "loser", "shut up", "screw you", "bastard", "ass",
+    "piss", "sucks", "garbage human", "trash human", "hate you",
+)
+
+
+def toxicity_score(
+    text_col: str | Column,
+    lexicon: tuple[str, ...] = DEFAULT_TOXICITY_LEXICON,
+) -> Column:
+    """Fraction of word tokens that are lexicon hits (JVM-side).
+
+    Multi-word lexicon entries are counted via whole-word regexp_count;
+    single words via token membership — both stay in native expressions.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lower = F.lower(F.coalesce(c, F.lit("")))
+    toks = F.regexp_extract_all(lower, F.lit("[a-z']+"), 0)
+    single = tuple(t for t in lexicon if " " not in t)
+    multi = tuple(t for t in lexicon if " " in t)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*single))).cast("double")
+    for phrase in multi:
+        import re as _re
+
+        pattern = r"(?i)\b" + _re.escape(phrase) + r"\b"
+        hits = hits + F.regexp_count(lower, F.lit(pattern)).cast("double")
+    n = F.size(toks)
+    return F.when(n > 0, hits / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def scrub_toxicity(
+    col: Column | str,
+    lexicon: tuple[str, ...] = DEFAULT_TOXICITY_LEXICON,
+    spark=None,
+):
+    """Mask lexicon terms with the byte-parity whole-word Matcher
+    (pandas UDF) — same semantics as the PII dictionary stage."""
+    from .udfs import make_dict_scrub_udf
+
+    udf = make_dict_scrub_udf(list(lexicon), spark)
+    return udf(F.col(col) if isinstance(col, str) else col)

@@ -102,6 +102,11 @@ def build_pipeline(
             .withColumn("ppl", make_perplexity_udf()(F.col("text")))
         )
 
+    if cfg.quality.max_toxicity_ratio is not None:
+        from ..functions.toxicity import toxicity_score
+
+        df = df.withColumn("toxicity_ratio", F.round(toxicity_score("text"), 6))
+
     has_lang = cfg.detect_lang or not (cfg.enabled and cfg.dictionary)
     df = with_quality_columns(
         df,
@@ -112,6 +117,9 @@ def build_pipeline(
         lang_col="lang" if has_lang else None,
         lang_conf_col="lang_conf" if has_lang else None,
         ppl_col="ppl" if cfg.score_ppl else None,
+        toxicity_col="toxicity_ratio"
+        if cfg.quality.max_toxicity_ratio is not None
+        else None,
     )
     if cfg.verbose_audit:
         # Audit analogue of the reference's pre/post file pair

@@ -853,6 +853,51 @@ def q31_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+
+# ---------------------------------------------------------------------------
+# Q32 — toxicity-ratio quality rule (lexicon tier, SQL-expressible slice)
+
+_TOX = ("damn", "hell", "crap", "idiot", "stupid", "moron", "dumb")
+
+
+def q32_toxicity_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    # inject deterministic toxicity into a slice so the rule actually fires
+    synth = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+        F.concat(F.lit("damn this stupid thing "), F.substring("text", 1, 60)),
+    ).otherwise(F.substring("text", 1, 80))
+    toks = F.regexp_extract_all(F.lower(synth), F.lit("[a-z']+"), 0)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_TOX))).cast("double")
+    ratio = F.when(F.size(toks) > 0, hits / F.size(toks).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 6).alias("toxicity_ratio"),
+        (F.round(ratio, 6) <= 0.05).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_Q32_SQL = """
+SELECT doc_id,
+       round(CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, t -> t IN
+                  ('damn','hell','crap','idiot','stupid','moron','dumb'))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS toxicity_ratio,
+       (round(CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, t -> t IN
+                  ('damn','hell','crap','idiot','stupid','moron','dumb'))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) <= 0.05) AS keep
+FROM (
+  SELECT doc_id,
+         regexp_extract_all(lower(CASE WHEN doc_id % 7 = 0
+             THEN 'damn this stupid thing ' || substr(text, 1, 60)
+             ELSE substr(text, 1, 80) END), '[a-z'']+') AS toks
+  FROM documents
+) t ORDER BY doc_id
+"""
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible queries (rows-only driver check): exact kernel scrub,
 # langid, minhash dedup — the driver records a weaker check; pytest holds
@@ -935,6 +980,7 @@ QUERIES = {
     "q29_median_value": q29_median_value,
     "q30_embedding_neardup_exact": q30_embedding_neardup_exact,
     "q31_embedding_neardup_lsh": q31_embedding_neardup_lsh,
+    "q32_toxicity_ratio": q32_toxicity_ratio,
     "q20_kernel_scrub": q20_kernel_scrub,
     "q21_langid": q21_langid,
     "q22_minhash_signatures": q22_minhash_signatures,
@@ -968,6 +1014,7 @@ ORACLE_SQL = {
     "q28_value_deltas": _Q28_SQL,
     "q29_median_value": _Q29_SQL,
     "q30_embedding_neardup_exact": _Q30_SQL,
+    "q32_toxicity_ratio": _Q32_SQL,
     # q20/q21/q22: kernel scrub, langid, minhash — not SQL-expressible,
     # rows-only driver check; pytest carries the strong assertions.
 }

@@ -170,3 +170,25 @@ def test_resumable_job(spark, transcripts, cfg, tmp_path):
     kd1 = final.filter("keep").count()
     kd2 = direct.filter("keep").count()
     assert kd1 == kd2
+
+
+def test_toxicity_rule(spark, transcripts):
+    from gs_mcp_proxy_pii_redactor_spark.functions.quality import QualityConfig
+
+    cfg = ScrubJobConfig(
+        dictionary=tuple(PARITY_DICTIONARY),
+        quality=QualityConfig(max_toxicity_ratio=0.10),
+    )
+    toxic_row = spark.createDataFrame(
+        [("cT", 0, "user", "damn this stupid dumb idiot thing you moron", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    result = build_pipeline(spark, toxic_row, cfg)
+    r = result.first()
+    assert r.toxicity_ratio > 0.5
+    assert not r.keep and "toxic" in r.drop_reasons
+    # clean rows unaffected
+    clean = build_pipeline(spark, transcripts.limit(50), cfg)
+    assert clean.filter(
+        F.array_contains("drop_reasons", "toxic")
+    ).count() == 0
