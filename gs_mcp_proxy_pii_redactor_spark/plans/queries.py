@@ -227,7 +227,7 @@ def q07_keep_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q07_SQL = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN length(text) >= 60 AND length(text) <= 400 THEN 1 ELSE 0 END) AS n_keep,
+       CAST(SUM(CASE WHEN length(text) >= 60 AND length(text) <= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        round(SUM(CASE WHEN length(text) >= 60 AND length(text) <= 400 THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
 FROM documents
@@ -324,7 +324,7 @@ def q11_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q11_SQL = """
-SELECT user_id, SUM(ns) AS n_sessions FROM (
+SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions FROM (
   SELECT user_id,
          CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS ns
   FROM (
@@ -481,7 +481,7 @@ def q15_transcript_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q15_SQL = f"""
 SELECT conv_id, COUNT(*) AS n_turns,
-       SUM(k) AS n_keep,
+       CAST(SUM(k) AS BIGINT) AS n_keep,
        round(SUM(k) / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
 FROM (
   SELECT 'conv-' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,

@@ -39,6 +39,45 @@ def normalize_cell(v):
     return str(v)
 
 
+def _spark_type_class(dt: str) -> str:
+    dt = dt.lower()
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt == "boolean":
+        return "bool"
+    if dt.startswith("array"):
+        return "list"
+    if dt.startswith("timestamp"):
+        return "ts"
+    if dt == "date":
+        return "date"
+    return "str" if dt == "string" else dt
+
+
+def _arrow_type_class(t) -> str:
+    import pyarrow.types as pat
+
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_floating(t):
+        return "float"
+    if pat.is_decimal(t):
+        return "decimal"
+    if pat.is_boolean(t):
+        return "bool"
+    if pat.is_list(t) or pat.is_large_list(t) or pat.is_fixed_size_list(t):
+        return "list"
+    if pat.is_timestamp(t):
+        return "ts"
+    if pat.is_date(t):
+        return "date"
+    return "str" if pat.is_string(t) or pat.is_large_string(t) else str(t)
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -93,6 +132,7 @@ def main() -> int:
         try:
             ddf = con.sql(oracles[name])
             dcols = [d[0] for d in ddf.description]
+            darrow = con.sql(oracles[name]).arrow()
             drows = ddf.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -104,6 +144,17 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} != {sorted(dcols)}")
         else:
+            # type-class check: the driver's value hash is dtype-sensitive
+            # (DuckDB HUGEINT vs Spark BIGINT hash differently even when the
+            # values print identically) — catch that class of bug locally.
+            stypes = {c: _spark_type_class(t) for c, t in sdf.dtypes}
+            for f in darrow.schema:
+                dc = _arrow_type_class(f.type)
+                sc = stypes.get(f.name)
+                if sc is not None and sc != dc:
+                    problems.append(
+                        f"type-class mismatch on {f.name}: spark={sc} duckdb={dc}"
+                    )
             h1 = table_hash(scols, srows)
             h2 = table_hash(dcols, drows)
             if h1 != h2:
