@@ -154,9 +154,12 @@ def rules_from_features(
     if role_col is not None:
         rules["invalid_role"] = F.col(role_col).isin(*cfg.valid_roles)
         if tool_col is not None and cfg.enforce_tool_consistency:
-            # tool is non-null iff role == 'tool'
+            # tool is non-null iff role == 'tool'. NULL-guard the role side:
+            # (NULL == 'tool') is NULL, and without coalesce a NULL role with
+            # a NULL tool would spuriously fail the rule.
             rules["tool_inconsistent"] = (
-                (F.col(role_col) == "tool") == F.col(tool_col).isNotNull()
+                F.coalesce(F.col(role_col) == "tool", F.lit(False))
+                == F.col(tool_col).isNotNull()
             )
     if ppl_col is not None and cfg.max_ppl is not None:
         rules["high_perplexity"] = F.coalesce(

@@ -37,15 +37,20 @@ def toxicity_score(
     Multi-word lexicon entries are counted via whole-word regexp_count;
     single words via token membership — both stay in native expressions.
     """
+    import re as _re
+
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     lower = F.lower(F.coalesce(c, F.lit("")))
     toks = F.regexp_extract_all(lower, F.lit("[a-z']+"), 0)
     single = tuple(t for t in lexicon if " " not in t)
     multi = tuple(t for t in lexicon if " " in t)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*single))).cast("double")
+    # Column.isin() with zero args raises at plan time — an all-phrase
+    # lexicon must start from a literal zero instead.
+    if single:
+        hits = F.size(F.filter(toks, lambda t: t.isin(*single))).cast("double")
+    else:
+        hits = F.lit(0.0)
     for phrase in multi:
-        import re as _re
-
         pattern = r"(?i)\b" + _re.escape(phrase) + r"\b"
         hits = hits + F.regexp_count(lower, F.lit(pattern)).cast("double")
     n = F.size(toks)

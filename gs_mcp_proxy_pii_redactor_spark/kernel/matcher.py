@@ -56,7 +56,14 @@ class Matcher:
                 patterns.append(lp)
         self.patterns = patterns
         self._ascii_patterns = all(p.isascii() for p in patterns)
-        if self._ascii_patterns:
+        if not patterns:
+            # A dictionary of only empty strings normalizes to no patterns:
+            # the reference's matcher finds nothing for it (matcher.ts:17-25
+            # drops empties before the automaton build), so redact() is the
+            # identity. Compiling the empty alternation instead would match
+            # zero-width everywhere and loop forever in the fast path.
+            self._fast_re = None
+        elif self._ascii_patterns:
             alternation = "|".join(
                 re.escape(p) for p in sorted(patterns, key=len, reverse=True)
             )
@@ -87,6 +94,11 @@ class Matcher:
             if m is None:
                 break
             s, e = m.start(), m.end()
+            if e == s:  # zero-width safety: never loop on an empty match
+                if s >= len(lower_text):
+                    break
+                pos = s + 1
+                continue
             if merged and s <= merged[-1][1]:
                 if e > merged[-1][1]:
                     merged[-1][1] = e
@@ -128,7 +140,7 @@ class Matcher:
     # -- public API -------------------------------------------------------
 
     def find_merged_intervals(self, text: str) -> list[list[int]]:
-        if not text:
+        if not text or not self.patterns:
             return []
         if self._fast_re is not None and text.isascii():
             # ASCII: lower() preserves length/positions and the word-char

@@ -20,17 +20,54 @@ from gs_mcp_proxy_pii_redactor_spark.functions.quality import (
     VALID_ROLES,
     QualityConfig,
 )
+from gs_mcp_proxy_pii_redactor_spark.functions.toxicity import (
+    DEFAULT_TOXICITY_LEXICON,
+)
 from gs_mcp_proxy_pii_redactor_spark.kernel import Matcher, redact_generic
 
+# re.ASCII throughout: Java's \s/\w/\b default to ASCII classes, while
+# Python's are Unicode-aware — without the flag, U+00A0 etc. diverge in
+# n_space/symbol_ratio/tokenization and extended-PII boundaries.
 _ALPHA = re.compile(r"[A-Za-z]")
 _DIGIT = re.compile(r"[0-9]")
-_SPACE = re.compile(r"\s")
-_WS = re.compile(r"\s+")
+_SPACE = re.compile(r"\s", re.ASCII)
+_WS = re.compile(r"\s+", re.ASCII)
+_TOX_TOKEN = re.compile(r"[a-z']+")
 
 # Java and Python regex dialects agree on the extended patterns in use
+# (ASCII flag keeps \b/\w/\s semantics identical to Spark's Java regex)
 _EXT_COMBINED = re.compile(
-    "|".join(f"(?:{p})" for p in EXTENDED_PII_PATTERNS.values())
+    "|".join(f"(?:{p})" for p in EXTENDED_PII_PATTERNS.values()), re.ASCII
 )
+
+
+def _round_half_up(v: float, digits: int) -> float:
+    """Spark's F.round uses HALF_UP; Python's round() is banker's."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def toxicity_ratio(
+    text: str, lexicon: tuple[str, ...] = DEFAULT_TOXICITY_LEXICON
+) -> float:
+    """Mirror of functions/toxicity.toxicity_score (native-expr version)."""
+    lower = (text or "").lower()
+    toks = _TOX_TOKEN.findall(lower)
+    if not toks:
+        return 0.0
+    single = {t for t in lexicon if " " not in t}
+    hits = float(sum(1 for t in toks if t in single))
+    for phrase in lexicon:
+        if " " in phrase:
+            hits += len(
+                re.findall(r"\b" + re.escape(phrase) + r"\b", lower, re.ASCII)
+            )
+    return hits / len(toks)
 
 
 def label_row(
@@ -90,6 +127,19 @@ def label_row(
         reasons.append("tool_inconsistent")
     if cfg.max_ppl is not None and not (ppl <= cfg.max_ppl):
         reasons.append("high_perplexity")
+    # Order below mirrors quality.rules_from_features exactly: toxic,
+    # then disallowed_lang, then low_lang_conf (drop_reasons is an
+    # ordered array on the Spark side).
+    if cfg.max_toxicity_ratio is not None:
+        tox = _round_half_up(toxicity_ratio(text), 6)
+        if not (tox <= cfg.max_toxicity_ratio):
+            reasons.append("toxic")
+    if cfg.allowed_langs is not None and lang not in cfg.allowed_langs:
+        reasons.append("disallowed_lang")
+    if cfg.min_lang_conf is not None and not (
+        lang_conf is not None and lang_conf >= cfg.min_lang_conf
+    ):
+        reasons.append("low_lang_conf")
 
     return {
         "conv_id": row.get("conv_id"),

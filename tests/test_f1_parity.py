@@ -8,6 +8,7 @@ is EXACT agreement (F1 = 1.0), which subsumes the ≥ 0.99 bar.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from gs_mcp_proxy_pii_redactor_spark.kernel import Matcher
 from gs_mcp_proxy_pii_redactor_spark.plans import ScrubJobConfig, build_pipeline
@@ -65,3 +66,87 @@ def test_f1_and_byte_parity(spark, sf_dir):
     # on this deterministic fixture we expect exact agreement
     assert not label_mismatches, label_mismatches[:5]
     assert f1 == 1.0
+
+
+def test_f1_parity_with_toxicity_and_lang_gates(spark, sf_dir):
+    """Variant with max_toxicity_ratio / allowed_langs / min_lang_conf set
+    (ADVICE r1: these rules must be mirrored in tests/oracle.py), plus
+    crafted rows covering a NULL role, non-ASCII whitespace, toxic text
+    above and below threshold, and a non-English turn."""
+    from gs_mcp_proxy_pii_redactor_spark.functions.quality import QualityConfig
+
+    transcripts = synthesize_transcripts(spark, sf_dir, turns_per_doc=2)
+    extra = spark.createDataFrame(
+        [
+            ("conv-x", 100, "user",
+             "you stupid idiot moron, damn this crap, shut up you loser jerk",
+             None),
+            ("conv-x", 101, "assistant",
+             "Happy to help with the quarterly report today, thanks for "
+             "asking so politely about it all.", None),
+            ("conv-x", 102, None,
+             "Row with a NULL role and no tool must count as tool-consistent "
+             "on both sides of the parity gate.", None),
+            ("conv-x", 103, None,
+             "NULL role with a tool set is inconsistent on both sides.",
+             "rogue"),
+            ("conv-x", 104, "user",
+             "der und die das ist ein nicht mit für auf auch sehr gut "
+             "danke bitte schön morgen wieder hier", None),
+            ("conv-x", 105, "user",
+             "call me maybe at the office tomorrow morning "
+             "with the full summary of everything we discussed", None),
+            ("conv-x", 106, "user",
+             "one damn slip in an otherwise long and perfectly reasonable "
+             "message about the weather and the weekend plans we made "
+             "together with friends from work and school and elsewhere "
+             "filling space so the single hit stays below the threshold "
+             "for the toxicity ratio rule to fire on this row here today",
+             None),
+        ],
+        schema="conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.lit(None).cast("timestamp_ntz"))
+    transcripts = transcripts.unionByName(extra)
+
+    qcfg = QualityConfig(
+        max_toxicity_ratio=0.08,
+        allowed_langs=("en", "unknown"),
+        min_lang_conf=0.05,
+    )
+    cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY), quality=qcfg)
+    result = build_pipeline(spark, transcripts, cfg)
+
+    rows = result.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        "text_scrubbed", "keep", "drop_reasons",
+    ).collect()
+    matcher = Matcher.build(list(PARITY_DICTIONARY))
+    mismatches = []
+    fired = set()
+    for r in rows:
+        oracle = label_row(
+            {"conv_id": r.conv_id, "turn_idx": r.turn_idx, "role": r.role,
+             "text": r.text, "tool": r.tool},
+            matcher,
+            qcfg,
+        )
+        fired.update(oracle["drop_reasons"])
+        if (
+            r.text_scrubbed != oracle["text_scrubbed"]
+            or bool(r.keep) != oracle["keep"]
+            or list(r.drop_reasons) != oracle["drop_reasons"]
+        ):
+            mismatches.append(
+                (r.text[:80], r.role, list(r.drop_reasons), oracle["drop_reasons"])
+            )
+    assert not mismatches, mismatches[:5]
+    # the crafted rows must actually exercise the new rules
+    assert "toxic" in fired
+    assert "disallowed_lang" in fired
+    drops = {(r.conv_id, r.turn_idx): list(r.drop_reasons) for r in rows}
+    assert "toxic" in drops[("conv-x", 100)]
+    assert drops[("conv-x", 101)] == []
+    assert "tool_inconsistent" not in drops[("conv-x", 102)]
+    assert "tool_inconsistent" in drops[("conv-x", 103)]
+    assert "disallowed_lang" in drops[("conv-x", 104)]
+    assert "toxic" not in drops[("conv-x", 106)]

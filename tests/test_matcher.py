@@ -134,3 +134,19 @@ def test_non_ascii_falls_back_and_matches():
     # non-ASCII text with ASCII dict still correct
     m2 = Matcher.build(["secret"])
     assert m2.redact("das secret ist geheim ü") == "das [REDACTED] ist geheim ü"
+
+
+def test_all_empty_dictionary_is_identity():
+    # Reference matcher.ts:17-25,39-41: only a literally-empty list raises;
+    # [''] normalizes to zero patterns and the matcher matches nothing.
+    m = Matcher.build([""])
+    assert m.patterns == []
+    assert m.find_merged_intervals("john doe at work") == []
+    assert m.redact("john doe at work") == "john doe at work"
+    m2 = Matcher.build(["", "  ", ""])  # whitespace is a real pattern; "" is not
+    assert m2.patterns == ["  "]
+    assert m2.redact(", ,  ,") == ", ,[REDACTED],"  # whole-word hit between commas
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Matcher.build([])

@@ -192,3 +192,20 @@ def test_toxicity_rule(spark, transcripts):
     assert clean.filter(
         F.array_contains("drop_reasons", "toxic")
     ).count() == 0
+
+
+def test_toxicity_all_phrase_lexicon(spark):
+    """Lexicon of only multi-word phrases must not raise at plan time
+    (ADVICE r1: Column.isin() with zero args is a TypeError)."""
+    from gs_mcp_proxy_pii_redactor_spark.functions.toxicity import toxicity_score
+
+    df = spark.createDataFrame(
+        [("screw you buddy",), ("have a nice day",), ("",)], "text string"
+    )
+    out = df.select(
+        F.round(toxicity_score("text", lexicon=("screw you", "garbage human")), 6)
+        .alias("tox")
+    ).collect()
+    assert out[0].tox > 0.0
+    assert out[1].tox == 0.0
+    assert out[2].tox == 0.0
