@@ -47,8 +47,21 @@ def apply_tool_filter(df: DataFrame, cfg: ScrubJobConfig) -> DataFrame:
 def build_pipeline(
     spark: SparkSession, df: DataFrame, cfg: ScrubJobConfig
 ) -> DataFrame:
-    """Append text_scrubbed / lang / lang_conf / ppl / quality columns."""
+    """Append text_scrubbed / lang / lang_conf / ppl / quality columns.
+
+    ``cfg.text_columns`` is the reference's ``keys`` column-selection
+    analogue (T10, config/types.ts:13-18): EVERY configured column is
+    scrubbed (primary column + extras like ``tool_output``); language-ID,
+    perplexity, toxicity and the quality rules run on the PRIMARY (first)
+    column only. The scrubbed primary lands in the canonical
+    ``text_scrubbed`` column; each extra column ``c`` in ``{c}_scrubbed``.
+    """
     df = apply_tool_filter(df, cfg)
+
+    primary = cfg.text_columns[0] if cfg.text_columns else "text"
+    extras = [
+        c for c in cfg.text_columns[1:] if c != primary and c in df.columns
+    ]
 
     if cfg.repartition:
         # Round-robin-by-hash over (conv_id, turn_idx): even task sizing
@@ -59,9 +72,15 @@ def build_pipeline(
         )
 
     if cfg.enabled and cfg.dictionary:
+        from ..functions.udfs import make_scrub_udf
+
+        # extras share ONE scrub UDF instance (one broadcast dictionary,
+        # one per-worker automaton memo); the projections sit in the same
+        # stage so Spark fuses them into a single ArrowEvalPython node.
+        extra_scrub = make_scrub_udf(cfg.dictionary, spark) if extras else None
         if cfg.detect_lang or cfg.score_ppl:
             analyze = make_analyze_udf(cfg.dictionary, spark)
-            df = df.withColumn("_a", analyze(F.col("text"))).select(
+            df = df.withColumn("_a", analyze(F.col(primary))).select(
                 "*", "_a.text_scrubbed", "_a.lang", "_a.lang_conf", "_a.ppl"
             ).drop("_a")
             if not cfg.detect_lang:
@@ -72,15 +91,15 @@ def build_pipeline(
                 df = df.withColumn("ppl", F.lit(None).cast("double"))
         else:
             # scrub-only fast mode: cheapest possible Python stage
-            from ..functions.udfs import make_scrub_udf
-
             scrub = make_scrub_udf(cfg.dictionary, spark)
             df = (
-                df.withColumn("text_scrubbed", scrub(F.col("text")))
+                df.withColumn("text_scrubbed", scrub(F.col(primary)))
                 .withColumn("lang", F.lit(None).cast("string"))
                 .withColumn("lang_conf", F.lit(None).cast("double"))
                 .withColumn("ppl", F.lit(None).cast("double"))
             )
+        for c in extras:
+            df = df.withColumn(f"{c}_scrubbed", extra_scrub(F.col(c)))
         if cfg.extended_pii:
             if cfg.verbose_audit:
                 df = df.withColumn(
@@ -89,29 +108,37 @@ def build_pipeline(
             df = df.withColumn(
                 "text_scrubbed", scrub_extended_pii("text_scrubbed")
             )
+            for c in extras:
+                df = df.withColumn(
+                    f"{c}_scrubbed", scrub_extended_pii(f"{c}_scrubbed")
+                )
     else:
         # Redaction gate (reference redaction.service.ts:59-61): disabled
         # or no dictionary → identity text, but langid/ppl still run.
         from ..functions.udfs import make_langid_udf, make_perplexity_udf
 
         df = (
-            df.withColumn("text_scrubbed", F.col("text"))
-            .withColumn("_l", make_langid_udf()(F.col("text")))
+            df.withColumn("text_scrubbed", F.col(primary))
+            .withColumn("_l", make_langid_udf()(F.col(primary)))
             .select("*", "_l.lang", "_l.lang_conf")
             .drop("_l")
-            .withColumn("ppl", make_perplexity_udf()(F.col("text")))
+            .withColumn("ppl", make_perplexity_udf()(F.col(primary)))
         )
+        for c in extras:
+            df = df.withColumn(f"{c}_scrubbed", F.col(c))
 
     if cfg.quality.max_toxicity_ratio is not None:
         from ..functions.toxicity import toxicity_score
 
-        df = df.withColumn("toxicity_ratio", F.round(toxicity_score("text"), 6))
+        df = df.withColumn(
+            "toxicity_ratio", F.round(toxicity_score(primary), 6)
+        )
 
     has_lang = cfg.detect_lang or not (cfg.enabled and cfg.dictionary)
     df = with_quality_columns(
         df,
         cfg.quality,
-        text_col="text",
+        text_col=primary,
         role_col="role" if "role" in df.columns else None,
         tool_col="tool" if "tool" in df.columns else None,
         lang_col="lang" if has_lang else None,
@@ -123,8 +150,13 @@ def build_pipeline(
     )
     if cfg.verbose_audit:
         # Audit analogue of the reference's pre/post file pair
-        # (audit-logger.ts:28-56): keep pre-text + a changed flag.
-        df = df.withColumn("redacted", F.col("text") != F.col("text_scrubbed"))
+        # (audit-logger.ts:28-56): changed flag covers every scrubbed column.
+        changed = F.col(primary) != F.col("text_scrubbed")
+        for c in extras:
+            changed = changed | (
+                F.coalesce(F.col(c) != F.col(f"{c}_scrubbed"), F.lit(False))
+            )
+        df = df.withColumn("redacted", changed)
     return df
 
 

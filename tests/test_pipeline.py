@@ -209,3 +209,76 @@ def test_toxicity_all_phrase_lexicon(spark):
     assert out[0].tox > 0.0
     assert out[1].tox == 0.0
     assert out[2].tox == 0.0
+
+
+def test_text_columns_multi_column_scrub(spark):
+    """cfg.text_columns must scrub EVERY configured column (T10 column
+    selection analogue) — round-1 verdict: a second text column silently
+    leaked PII."""
+    import re
+
+    from gs_mcp_proxy_pii_redactor_spark.functions.pii_extended import (
+        EXTENDED_PII_PATTERNS,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.kernel import Matcher, redact_generic
+
+    rows = [
+        ("c0", 0, "user",
+         "Reach me at alice@example.com about john doe",
+         "tool said: bob@corp.io and SSN 123-45-6789 for john doe"),
+        ("c0", 1, "tool",
+         "no pii here at all in the primary text column today",
+         "acme corp says call 650-555-1234"),
+        ("c0", 2, "assistant", "plain text", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool_output string",
+    )
+    cfg = ScrubJobConfig(
+        dictionary=("john doe", "acme corp"),
+        text_columns=("text", "tool_output"),
+        detect_lang=False,
+        score_ppl=False,
+        verbose_audit=True,
+    )
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in build_pipeline(spark, df, cfg).collect()
+    }
+    m = Matcher.build(["john doe", "acme corp"])
+    ext = re.compile(
+        "|".join(f"(?:{p})" for p in EXTENDED_PII_PATTERNS.values()), re.ASCII
+    )
+
+    def expect(s):
+        return ext.sub("[REDACTED]", m.redact(redact_generic(s))) if s is not None else None
+
+    for (cid, ti, role, text, tool_out) in rows:
+        r = out[(cid, ti)]
+        assert r.text_scrubbed == expect(text), (ti, r.text_scrubbed)
+        assert r.tool_output_scrubbed == expect(tool_out), (ti, r.tool_output_scrubbed)
+    # the second column's PII is actually gone
+    assert "bob@corp.io" not in out[("c0", 0)].tool_output_scrubbed
+    assert "123-45-6789" not in out[("c0", 0)].tool_output_scrubbed
+    assert "555-1234" not in out[("c0", 1)].tool_output_scrubbed
+    # redacted flag covers extra columns: row 1 primary unchanged, extra changed
+    assert out[("c0", 1)].redacted
+    assert not out[("c0", 2)].redacted
+
+
+def test_text_columns_with_fused_analyze(spark):
+    """Same multi-column scrub through the fused analyze path
+    (detect_lang/score_ppl on): extras still scrubbed, lang/ppl on primary."""
+    df = spark.createDataFrame(
+        [("c0", 0, "user", "the quick brown fox and john doe met them all",
+          "contact jane@corp.io now")],
+        "conv_id string, turn_idx int, role string, text string, notes string",
+    )
+    cfg = ScrubJobConfig(
+        dictionary=("john doe",), text_columns=("text", "notes")
+    )
+    r = build_pipeline(spark, df, cfg).first()
+    assert "[REDACTED]" in r.text_scrubbed and "john doe" not in r.text_scrubbed
+    assert r.notes_scrubbed == "contact [REDACTED] now"
+    assert r.lang is not None and r.ppl is not None
