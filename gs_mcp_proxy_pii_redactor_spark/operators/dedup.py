@@ -19,6 +19,8 @@ are boilerplate/near-empty docs better handled by exact dedup).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -63,14 +65,17 @@ def minhash_signature(base_hash_col: Column, num_perm: int = 64) -> Column:
     (``xxhash64(h, seed)``), which is ~free by comparison. Avoids 64
     full-string hashing passes per row.
     """
+    # NB: the per-permutation rehash lambda must take EXACTLY ONE
+    # parameter — PySpark treats a two-parameter lambda (including one
+    # with a default, e.g. ``lambda h, i=i``) as (element, array_index),
+    # which silently turns all permutations into the same function.
+    def _perm(i: int):
+        return lambda h: F.xxhash64(F.lit(i), h)
+
     return F.array(
         *[
             F.coalesce(
-                F.array_min(
-                    F.transform(
-                        base_hash_col, lambda h, i=i: F.xxhash64(h, F.lit(i))
-                    )
-                ),
+                F.array_min(F.transform(base_hash_col, _perm(i))),
                 F.lit(-(2**62) + i),  # empty docs: distinct sentinel per perm
             )
             for i in range(num_perm)
@@ -109,7 +114,10 @@ def minhash_candidate_pairs(
     )
     # Signatures are read 4× downstream (bands, sizes, est-join ×2) —
     # persist; at production scale this is the materialized signature
-    # table you'd write alongside the corpus.
+    # table you'd write alongside the corpus. Lifetime is tied to the
+    # returned DataFrame below (weakref.finalize → unpersist), so long
+    # sessions don't accumulate dead cache entries; recomputation after
+    # unpersist is still correct, just slower.
     sig = sig.persist()
 
     band_entries = sig.select(
@@ -171,11 +179,20 @@ def minhash_candidate_pairs(
         ).cast("double")
         / F.lit(float(num_perm))
     )
-    return (
+    result = (
         pairs.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    weakref.finalize(result, _safe_unpersist, sig)
+    return result
+
+
+def _safe_unpersist(df: DataFrame) -> None:
+    try:
+        df.unpersist()
+    except Exception:  # session already stopped — nothing to free
+        pass
 
 
 def minhash_dedup(

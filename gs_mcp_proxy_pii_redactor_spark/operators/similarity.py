@@ -127,6 +127,37 @@ def lsh_topk(
     )
 
 
+def make_multi_sign_lsh_udf(n_tables: int, n_bits: int, seed: int = 42):
+    """Pandas UDF: embedding → array of ``n_tables`` signatures.
+
+    One gemm computes all tables' sign bits per Arrow batch. The hyperplane
+    pack is built lazily from the first batch's vector dimension (seeded →
+    identical on every executor), so callers never need a driver-side
+    action to discover ``dim``. Table ``t`` uses planes seeded ``seed+t``.
+    """
+    from pyspark.sql.types import ArrayType
+
+    state: dict = {}
+    weights = (1 << np.arange(n_bits, dtype=np.uint64)).astype(np.uint64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def multi_sig(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        if mat.ndim != 2 or mat.size == 0:
+            return pd.Series([[0] * n_tables] * len(vecs))
+        if "planes" not in state:
+            state["planes"] = np.vstack(
+                [_hyperplanes(mat.shape[1], n_bits, seed + t) for t in range(n_tables)]
+            )  # (n_tables*n_bits, dim)
+        bits = (mat @ state["planes"].T) > 0  # (batch, n_tables*n_bits)
+        sigs = (
+            bits.reshape(len(mat), n_tables, n_bits).astype(np.uint64) * weights
+        ).sum(axis=2)
+        return pd.Series(list(sigs.astype(np.int64)))
+
+    return multi_sig
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -135,23 +166,48 @@ def embedding_near_dup_pairs(
     n_bits: int = 12,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via sign-LSH bucket join,
-    exact-cosine verified. Returns (id_a, id_b, cos_sim ≥ threshold)."""
-    dim = len(df.select(vec_col).first()[0])
-    lsh = make_sign_lsh_udf(dim, n_bits, seed)
-    sig = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).withColumn("_sig", lsh(F.col("_v")))
-    sizes = sig.groupBy("_sig").agg(F.count("*").alias("_n"))
-    sig = sig.join(sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"), "_sig")
+    """Embedding-cosine near-duplicate pairs via MULTI-TABLE sign-LSH
+    bucket join, exact-cosine verified. Returns (id_a, id_b, cos_sim).
+
+    Band-OR over ``n_tables`` independent hyperplane packs: a pair is a
+    candidate if it collides in ANY table, so recall at similarity s is
+    1-(1-p^n_bits)^n_tables with p = 1-acos(s)/π (e.g. s=0.997, 8 bits,
+    4 tables → ~0.999 vs ~0.81 single-table). Scale shape: the pair
+    shuffle carries only (table, signature, id) — vectors rejoin by id
+    AFTER candidate dedup, so each vector crosses the wire O(n_tables)
+    times, not O(candidates). Degenerate buckets are capped.
+    """
+    lsh = make_multi_sign_lsh_udf(n_tables, n_bits, seed)
+    ids = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    sig = ids.select(
+        "_id", F.posexplode(lsh(F.col("_v"))).alias("_t", "_sig")
+    )
+    sizes = sig.groupBy("_t", "_sig").agg(F.count("*").alias("_n"))
+    sig = sig.join(
+        sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"), ["_t", "_sig"]
+    )
     a, b = sig.alias("a"), sig.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a._sig") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id")),
-    ).select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
-        F.round(cosine_sim(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
+    cand = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._sig") == F.col("b._sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = ids.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = ids.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
     )
     return pairs.filter(F.col("cos_sim") >= threshold)

@@ -842,15 +842,100 @@ ORDER BY id_a, id_b
 """
 
 
+# q31 parameters — shared by the Spark query and its DuckDB oracle. The
+# testdata embeddings are near-random (no natural pairs ≥ 0.9), so the
+# query PLANTS near-duplicates deterministically: every vec_id % 5 == 0
+# gains a copy (id + 100000) with per-index gain 1 + 0.1*((i % 3) - 1)
+# (1-based i), giving cos ≈ 0.9967 — the regime sign-LSH is built for.
+_Q31_THRESHOLD = 0.9
+_Q31_BITS = 8
+_Q31_TABLES = 4
+_Q31_SEED = 42
+_Q31_DIM = 64  # testdata embeddings dim (TESTDATA.md)
+
+
 def q31_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed near-dup pairs (approximate scale path; the
-    exact q30 is its correctness shadow at small SF). Rows-only check."""
+    """Multi-table sign-LSH near-dup pairs over planted near-duplicates.
+
+    Full hash-checked oracle: the DuckDB SQL replicates the ENTIRE LSH —
+    identical hyperplanes (literal-embedded), signatures, bucket cap,
+    candidate join and exact-cosine verification — so approximation
+    misses match on both sides bit-for-bit.
+    """
     from ..operators.similarity import embedding_near_dup_pairs
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    planted = emb.filter(F.col("id") % 5 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.transform(
+            "v",
+            # Spark's lambda index is 0-based; DuckDB's is 1-based — use
+            # (i+1) here so both sides perturb identically.
+            lambda x, i: x * (1.0 + 0.1 * (((i + 1) % 3) - 1).cast("double")),
+        ).alias("v"),
+    )
+    aug = emb.unionByName(planted)
     return embedding_near_dup_pairs(
-        emb, threshold=0.3, n_bits=6
+        aug,
+        id_col="id",
+        vec_col="v",
+        threshold=_Q31_THRESHOLD,
+        n_bits=_Q31_BITS,
+        seed=_Q31_SEED,
+        n_tables=_Q31_TABLES,
     ).orderBy("id_a", "id_b")
+
+
+def _q31_oracle_sql() -> str:
+    """Generate the DuckDB replica of q31's multi-table sign-LSH."""
+    from ..operators.similarity import _hyperplanes
+
+    sig_selects = []
+    for t in range(_Q31_TABLES):
+        planes = _hyperplanes(_Q31_DIM, _Q31_BITS, _Q31_SEED + t)
+        terms = []
+        for i, row in enumerate(planes):
+            lit = "[" + ",".join(repr(float(x)) for x in row) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        sig_selects.append(
+            f"SELECT id, v, {t} AS t, " + " + ".join(terms) + " AS s FROM aug"
+        )
+    sig_union = "\n  UNION ALL ".join(sig_selects)
+    return f"""
+WITH aug AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        (x, i) -> x * (1.0 + 0.1 * ((i % 3) - 1))) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+sig AS (
+  {sig_union}
+),
+capped AS (
+  SELECT id, t, s FROM (
+    SELECT id, t, s, COUNT(*) OVER (PARTITION BY t, s) AS n FROM sig
+  ) WHERE n <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM capped a JOIN capped b ON a.t = b.t AND a.s = b.s AND a.id < b.id
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(av.v, bv.v), 6) AS cos_sim
+FROM cand
+JOIN aug av ON av.id = cand.id_a
+JOIN aug bv ON bv.id = cand.id_b
+WHERE round(list_cosine_similarity(av.v, bv.v), 6) >= {_Q31_THRESHOLD}
+ORDER BY id_a, id_b
+"""
 
 
 
@@ -923,6 +1008,29 @@ def q20_kernel_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# DuckDB replica of q20: the injected PII shapes are FIXED (email +
+# dictionary name; the '+1-650-555-XXXX thanks' phone is deliberately a
+# kernel no-op — pinned reference quirk), and the document base slices
+# contain no other kernel triggers (verified empirically at sf0.001/0.01
+# — deterministic testdata, so the equality is stable). RE2-safe: \b
+# works, no lookarounds needed for these shapes.
+_Q20_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || ' reach me at agent' || CAST(doc_id AS VARCHAR)
+           || '@example.org or +1-650-555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || ' thanks Romario' AS text
+  FROM documents
+)
+SELECT doc_id, text,
+       regexp_replace(
+         regexp_replace(text, 'agent[0-9]+@example\.org', '[REDACTED]', 'g'),
+         '\bRomario\b', '[REDACTED]', 'g') AS text_scrubbed
+FROM t ORDER BY doc_id
+"""
+
+
 def q21_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID over documents (rows-only check).
 
@@ -944,11 +1052,50 @@ def q21_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q22_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_candidate_pairs
+def q22_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates, exact n-gram-Jaccard verified (≥ 0.5).
+
+    Oracle-checkable: DuckDB computes the exact all-pairs shingle-set
+    Jaccard over the same table. Equality holds because the testdata's
+    near-dup pairs all sit at J ≥ 0.889 (measured), where 16-band/4-row
+    LSH miss probability is ~1.6e-7 per pair — and xxhash64 is
+    deterministic, so a pass at this SF is a pass forever. The candidate
+    pre-filter (est ≥ 0.35) is far below the verify bar, so no true pair
+    is dropped by the estimate.
+    """
+    from ..operators.dedup import minhash_candidate_pairs, ngram_jaccard_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
+    cand = minhash_candidate_pairs(docs, "doc_id", "text", threshold=0.35)
+    verified = ngram_jaccard_pairs(
+        docs, cand.select("id_a", "id_b"), "doc_id", "text"
+    )
+    return verified.filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+
+
+# DuckDB replica: exact all-pairs shingle-set Jaccard (3-gram over
+# lowercased [a-z0-9]+ tokens — same tokenization as operators/dedup.py).
+# DuckDB list slicing is 1-based inclusive; range() is upper-exclusive.
+_Q22_SQL = """
+WITH s AS (
+  SELECT doc_id, list_distinct([
+      array_to_string(toks[i:i+2], ' ')
+      FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)
+  ]) AS sh
+  FROM (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM documents
+  )
+)
+SELECT id_a, id_b, j AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / NULLIF(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 0),
+               6) AS j
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+) WHERE j >= 0.5
+ORDER BY id_a, id_b
+"""
 
 
 QUERIES = {
@@ -983,7 +1130,7 @@ QUERIES = {
     "q32_toxicity_ratio": q32_toxicity_ratio,
     "q20_kernel_scrub": q20_kernel_scrub,
     "q21_langid": q21_langid,
-    "q22_minhash_signatures": q22_minhash_signatures,
+    "q22_minhash_verified_pairs": q22_minhash_verified_pairs,
 }
 
 ORACLE_SQL = {
@@ -1014,7 +1161,11 @@ ORACLE_SQL = {
     "q28_value_deltas": _Q28_SQL,
     "q29_median_value": _Q29_SQL,
     "q30_embedding_neardup_exact": _Q30_SQL,
+    "q20_kernel_scrub": _Q20_SQL,
+    "q22_minhash_verified_pairs": _Q22_SQL,
+    "q31_embedding_neardup_lsh": _q31_oracle_sql(),
     "q32_toxicity_ratio": _Q32_SQL,
-    # q20/q21/q22: kernel scrub, langid, minhash — not SQL-expressible,
-    # rows-only driver check; pytest carries the strong assertions.
+    # q21 langid stays rows-only: the heuristic scorer isn't
+    # SQL-expressible and the testdata lang labels are synthetic
+    # (see q21 docstring); accuracy is pinned in pytest instead.
 }

@@ -192,3 +192,71 @@ def test_multimodal_real_decode_raises(spark):
     media = synthesize_media(spark, n=3)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_embedding_near_dup_multi_table_recall(spark):
+    """Multi-table sign-LSH: planted near-dups at cos≈0.997; pin recall
+    and the subset-of-exact property (every emitted pair must appear in
+    the exact pair set with identical rounded cosine). Round-1 verdict:
+    the LSH scale path needed a proven recall number."""
+    from gs_mcp_proxy_pii_redactor_spark.operators.similarity import cosine_sim
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(60):
+        v = rng.randn(32)
+        rows.append((i, [float(x) for x in v]))
+        # planted near-dup: per-index gain pattern, cos ≈ 0.9967
+        g = [1.0 + 0.1 * (((j + 1) % 3) - 1) for j in range(32)]
+        rows.append((i + 1000, [float(x * gj) for x, gj in zip(v, g)]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    got = embedding_near_dup_pairs(
+        df, threshold=0.9, n_bits=8, n_tables=4
+    ).collect()
+    got_pairs = {(r.id_a, r.id_b): r.cos_sim for r in got}
+
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine_sim("va", "vb"), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.9)
+        .collect()
+    )
+    exact_pairs = {(r.id_a, r.id_b): r.cos_sim for r in exact}
+
+    # subset with identical cosine values
+    for p, c in got_pairs.items():
+        assert p in exact_pairs and exact_pairs[p] == c, p
+    # planted pairs are the exact set; multi-table recall must be high
+    assert len(exact_pairs) >= 60
+    recall = len(got_pairs) / len(exact_pairs)
+    assert recall >= 0.95, recall
+
+
+def test_minhash_permutations_are_independent(spark):
+    """Regression: a two-parameter transform lambda made all 64
+    permutations identical (PySpark binds the 2nd param to the array
+    index), so est_jaccard could only ever be 0 or 1. A J≈0.5 pair must
+    estimate strictly between."""
+    from gs_mcp_proxy_pii_redactor_spark.operators.dedup import (
+        minhash_signature,
+        shingles,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta mu nu xi omicron"
+    df = spark.createDataFrame([(0, a), (1, b)], ["doc_id", "text"])
+    sig = df.select(
+        "doc_id",
+        minhash_signature(
+            F.transform(shingles("text", 3), lambda s: F.xxhash64(s)), 64
+        ).alias("sig"),
+    )
+    rows = {r.doc_id: r.sig for r in sig.collect()}
+    # distinct permutations → 64 distinct min-hash values per doc
+    assert len(set(rows[0])) > 32
+    est = sum(1 for x, y in zip(rows[0], rows[1]) if x == y) / 64.0
+    # true 3-gram Jaccard here is 4/12 = 0.333; estimator must land nearby
+    assert 0.05 < est < 0.7, est
