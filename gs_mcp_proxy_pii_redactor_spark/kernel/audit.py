@@ -1,0 +1,106 @@
+"""Audit-operation identity + readability pass.
+
+Parity re-implementation of the reference's audit logger semantics
+(reference: src/redaction/audit-logger.ts):
+
+* ``logOperation`` gate: no config / verboseAudit false → '' and no
+  writes (audit-logger.ts:34-36);
+* op identity: ``{timestamp}-{opID}-{operation}-{pre|post}.json`` where
+  timestamp is the ISO instant with ``[:.]`` replaced by ``-``
+  (audit-logger.ts:38-53);
+* readability pass (audit-logger.ts:69-91): strings that parse as JSON
+  are replaced by their parsed value — parsed ONCE, not recursively
+  into the result; lists/objects are walked recursively; everything
+  else passes through.
+
+The Spark pipeline analogue lives in plans/job.py:audit_frame — these
+pure functions are its kernel and are spec-pinned by
+tests/test_audit.py (ported from audit-logger.spec.ts).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import uuid as _uuid
+from datetime import datetime, timezone
+from typing import Any
+
+_TS_CLEAN = re.compile(r"[:.]")
+
+
+def _strict_json_loads(s: str) -> Any:
+    """JSON.parse equivalent: Python's json.loads, minus the Python-only
+    NaN/Infinity extensions (JSON.parse rejects those)."""
+
+    def _no_const(name: str) -> Any:
+        raise ValueError(f"JSON.parse rejects {name}")
+
+    return json.loads(s, parse_constant=_no_const)
+
+
+def enhance_for_readability(data: Any) -> Any:
+    """Recursive readability pass (audit-logger.ts:69-91).
+
+    A string is replaced by ``JSON.parse(string)`` when that succeeds —
+    the PARSED value is returned as-is (the reference does not re-walk
+    it). Lists and dicts are walked; other values pass through.
+    """
+    if isinstance(data, str):
+        try:
+            return _strict_json_loads(data)
+        except ValueError:
+            return data
+    if isinstance(data, list):
+        return [enhance_for_readability(v) for v in data]
+    if isinstance(data, dict):
+        return {k: enhance_for_readability(v) for k, v in data.items()}
+    return data
+
+
+def audit_timestamp(now: datetime | None = None) -> str:
+    """ISO instant with ``[:.]`` → ``-`` (audit-logger.ts:39):
+    2024-01-01T00:00:00.000Z → 2024-01-01T00-00-00-000Z."""
+    now = now or datetime.now(timezone.utc)
+    iso = now.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.") + (
+        f"{now.microsecond // 1000:03d}Z"
+    )
+    return _TS_CLEAN.sub("-", iso)
+
+
+def audit_file_names(
+    timestamp: str, op_id: str, operation: str
+) -> tuple[str, str]:
+    """``{ts}-{opID}-{operation}-{pre|post}.json`` (audit-logger.ts:42-53)."""
+    return (
+        f"{timestamp}-{op_id}-{operation}-pre.json",
+        f"{timestamp}-{op_id}-{operation}-post.json",
+    )
+
+
+def log_operation(
+    config: dict | None,
+    operation: str,
+    pre_data: Any,
+    post_data: Any,
+    *,
+    now: datetime | None = None,
+    op_id: str | None = None,
+) -> tuple[str, dict[str, str]]:
+    """Pure analogue of logOperation (audit-logger.ts:28-56).
+
+    Returns ``(op_id, {filename: pretty_json})`` — the caller owns the
+    sink (the reference writes local files; the Spark pipeline writes an
+    audit table). Gate: returns ``('', {})`` when config is falsy or
+    verboseAudit is off.
+    """
+    if not config or not config.get("verboseAudit"):
+        return "", {}
+    op_id = op_id or str(_uuid.uuid4())
+    ts = audit_timestamp(now)
+    pre_name, post_name = audit_file_names(ts, op_id, operation)
+    files = {
+        pre_name: json.dumps(enhance_for_readability(pre_data), indent=2),
+        post_name: json.dumps(enhance_for_readability(post_data), indent=2),
+    }
+    return op_id, files

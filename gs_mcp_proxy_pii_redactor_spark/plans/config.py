@@ -72,6 +72,103 @@ class ScrubJobConfig:
     skew_salt: int = 8
 
 
+# ---------------------------------------------------------------------------
+# Full proxy-config loader — parity with the reference's ConfigService
+# (reference src/config/config.service.ts). Control-plane: plain dicts.
+
+def _inherit_options(parent: dict, child: dict) -> None:
+    """config.service.ts:150-164 — child gains parent's authTokens (only
+    when TRUTHY in the parent — the reference tests `parent.authTokens`,
+    not definedness) and panicIfInvalid / logEnabled (when DEFINED, even
+    if false). Redaction is intentionally NOT inherited."""
+    if "authTokens" not in child and parent.get("authTokens"):
+        child["authTokens"] = parent["authTokens"]
+    for key in ("panicIfInvalid", "logEnabled"):
+        if key not in child and key in parent:
+            child[key] = parent[key]
+
+
+def _expand_env_in_headers(headers: dict, env: dict[str, str]) -> None:
+    """config.service.ts:127-148 — ${VAR} in header values; unset → error
+    with the reference's message shape."""
+    for key, value in headers.items():
+        if isinstance(value, str) and _ENV_RE.search(value):
+
+            def sub(m: re.Match, _key=key) -> str:
+                name = m.group(1)
+                if name not in env:
+                    raise KeyError(
+                        f"Environment variable {name} referenced in header "
+                        f"{_key} is not set"
+                    )
+                return env[name]
+
+            headers[key] = _ENV_RE.sub(sub, value)
+
+
+def load_full_config(
+    path_or_url: str,
+    *,
+    insecure: bool = False,
+    env: dict[str, str] | None = None,
+) -> dict:
+    """Load + normalize the full proxy config (config.service.ts:17-82).
+
+    Accepts a filesystem path or an http(s):// URL. Normalization:
+    ``mcpProxy`` required; options default ``{}``; ``${ENV}`` expanded in
+    every server's headers; proxy options inherited into each server's
+    options (except redaction); proxy type defaults to
+    ``streamable-http``; ``mcpServers``/``groups`` default ``{}``.
+    """
+    env = env if env is not None else dict(os.environ)
+    if path_or_url.startswith(("http://", "https://")):
+        import ssl
+        import urllib.request
+
+        ctx = None
+        if insecure and path_or_url.startswith("https://"):
+            ctx = ssl.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        with urllib.request.urlopen(path_or_url, context=ctx) as resp:
+            full = json.loads(resp.read().decode("utf-8"))
+    else:
+        abs_path = (
+            path_or_url
+            if os.path.isabs(path_or_url)
+            else os.path.join(os.getcwd(), path_or_url)
+        )
+        with open(abs_path, encoding="utf-8") as f:
+            full = json.load(f)
+
+    if "mcpProxy" not in full or full["mcpProxy"] is None:
+        raise ValueError("mcpProxy is required")
+    proxy = full["mcpProxy"]
+    proxy.setdefault("options", {})
+
+    servers = full.get("mcpServers") or {}
+    for server_cfg in servers.values():
+        if server_cfg.get("headers"):
+            _expand_env_in_headers(server_cfg["headers"], env)
+    for server_cfg in servers.values():
+        server_cfg.setdefault("options", {})
+        _inherit_options(proxy["options"], server_cfg["options"])
+
+    proxy.setdefault("type", "streamable-http")
+    return {"mcpProxy": proxy, "mcpServers": servers, "groups": full.get("groups") or {}}
+
+
+def is_server_in_group(config: dict, active_group: str | None, server: str) -> bool:
+    """config.service.ts:91-125 — no group (or unknown group) = all
+    servers enabled; else membership in the group's server list."""
+    if not active_group:
+        return True
+    groups = config.get("groups") or {}
+    if active_group not in groups:
+        return True
+    return server in groups[active_group]
+
+
 def load_job_config(path: str, env: dict[str, str] | None = None) -> ScrubJobConfig:
     """Load config from JSON with env interpolation in string values."""
     with open(path, encoding="utf-8") as f:

@@ -160,20 +160,55 @@ def build_pipeline(
     return df
 
 
-def audit_frame(result: DataFrame) -> DataFrame:
+def audit_frame(result: DataFrame, operation: str = "tool_call") -> DataFrame:
     """Audit side-output — analogue of the reference's pre/post JSON file
     pair per operation (audit-logger.ts:28-56), as a table: one row per
-    CHANGED turn with pre/post text and which stages hit."""
+    CHANGED turn with pre/post text, which stages hit, the reference's
+    ``{timestamp}-{opID}-{operation}-{pre|post}`` identity
+    (audit-logger.ts:38-53) and the embedded-JSON readability pass
+    (audit-logger.ts:69-91; kernel/audit.py)."""
+    from pyspark.sql.types import StringType
+
     from ..functions.pii_extended import extended_pii_hits
+    from ..kernel.audit import enhance_for_readability
+
+    @F.pandas_udf(StringType())
+    def readable(texts):
+        import json as _json
+
+        return texts.map(
+            lambda t: None
+            if t is None
+            else _json.dumps(enhance_for_readability(t), indent=2)
+        )
 
     changed = result.filter(F.col("text") != F.col("text_scrubbed"))
-    return changed.select(
+    changed = changed.select(
         "conv_id",
         "turn_idx",
         F.col("text").alias("text_pre"),
         F.col("text_scrubbed").alias("text_post"),
         F.expr("uuid()").alias("op_id"),
+        F.lit(operation).alias("operation"),
+        F.current_timestamp().alias("event_time"),
         extended_pii_hits("text").alias("extended_rule_hits"),
+        readable(F.col("text")).alias("pre_readable"),
+        readable(F.col("text_scrubbed")).alias("post_readable"),
+    )
+    # ISO instant with [:.] → '-' (audit-logger.ts:39); UTC like
+    # Date.toISOString. date_format avoids a per-row Python round trip.
+    ts = F.date_format(
+        F.to_utc_timestamp(F.col("event_time"), F.lit("UTC")),
+        "yyyy-MM-dd'T'HH-mm-ss-SSS'Z'",
+    )
+    name = lambda suffix: F.concat_ws(  # noqa: E731
+        "-", ts, F.col("op_id"), F.col("operation"), F.lit(suffix)
+    )
+    return changed.withColumns(
+        {
+            "audit_name_pre": F.concat(name("pre"), F.lit(".json")),
+            "audit_name_post": F.concat(name("post"), F.lit(".json")),
+        }
     )
 
 
@@ -234,10 +269,30 @@ def run_job(
     cfg: ScrubJobConfig,
     output_path: str,
     metrics_path: str | None = None,
-) -> None:
-    """Execute the pipeline and write outputs (branch A + branch B)."""
+) -> dict:
+    """Execute the pipeline and write outputs (branch A + branch B).
+
+    Global job counters ride the WRITE job via ``observe()`` — zero extra
+    scans — and are returned. The per-(lang, role) metrics table (when
+    ``metrics_path`` is set) reads back the written parquet: a pruned
+    columnar scan of 4 narrow columns, the cheapest way to get a grouped
+    rollup without shuffling the wide result a second time.
+    """
+    from pyspark.sql import Observation
+
     result = build_pipeline(spark, input_df, cfg)
+    obs = Observation("scrub_job")
+    result = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum(
+            (F.col("text") != F.col("text_scrubbed")).cast("long")
+        ).alias("n_redacted"),
+    )
     result.write.mode("overwrite").parquet(output_path)
+    counters = dict(obs.get)
     if metrics_path:
         out = spark.read.parquet(output_path)
         scrub_metrics(out).write.mode("overwrite").parquet(metrics_path)
+    return counters

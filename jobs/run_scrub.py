@@ -116,8 +116,8 @@ def main(argv=None) -> int:
         )
         print(f"resumable run complete: run_id={run_id}")
     else:
-        run_job(spark, input_df, cfg, args.output, args.metrics)
-        print("run complete")
+        counters = run_job(spark, input_df, cfg, args.output, args.metrics)
+        print(f"run complete: {counters}")
 
     if args.audit:
         from gs_mcp_proxy_pii_redactor_spark.plans import audit_frame, build_pipeline

@@ -1,0 +1,159 @@
+"""Audit identity + readability parity (ported from the reference's
+audit-logger.spec.ts assertions; file-system mechanics are replaced by
+the pure kernel functions + the audit_frame table analogue)."""
+
+import json
+import re
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from gs_mcp_proxy_pii_redactor_spark.kernel.audit import (
+    audit_file_names,
+    audit_timestamp,
+    enhance_for_readability,
+    log_operation,
+)
+
+# -- logOperation gate (spec: 'should return empty string if ...') ----------
+
+
+def test_gate_null_config():
+    assert log_operation(None, "tool_call", "a", "b") == ("", {})
+
+
+def test_gate_verbose_false():
+    assert log_operation(
+        {"enabled": True, "verboseAudit": False}, "tool_call", "a", "b"
+    ) == ("", {})
+
+
+def test_writes_two_files_and_returns_op_id():
+    op_id, files = log_operation(
+        {"enabled": True, "verboseAudit": True},
+        "tool_call",
+        {"content": "pre-data"},
+        {"content": "post-data"},
+        op_id="test-uuid-123",
+        now=datetime(2024, 1, 1, tzinfo=timezone.utc),
+    )
+    assert op_id == "test-uuid-123"
+    assert len(files) == 2
+    pre, post = sorted(files)  # '-post.json' < '-pre.json'
+    # spec: 'should generate correct file names for pre and post files'
+    assert pre == "2024-01-01T00-00-00-000Z-test-uuid-123-tool_call-post.json"
+    assert post == "2024-01-01T00-00-00-000Z-test-uuid-123-tool_call-pre.json"
+    # spec: 'should write JSON data with proper formatting'
+    assert '"content": "pre-data"' in files[post]
+    assert '"content": "post-data"' in files[pre]
+    for body in files.values():
+        json.loads(body)
+
+
+def test_operation_types_in_names():
+    for op in ("prompt_call", "resource_call"):
+        _, files = log_operation(
+            {"verboseAudit": True}, op, "x", "y", op_id="u"
+        )
+        assert any(n.endswith(f"{op}-pre.json") for n in files)
+        assert any(n.endswith(f"{op}-post.json") for n in files)
+
+
+def test_timestamp_format():
+    ts = audit_timestamp(datetime(2024, 1, 1, 12, 34, 56, 789000, tzinfo=timezone.utc))
+    assert ts == "2024-01-01T12-34-56-789Z"
+    assert audit_file_names(ts, "u1", "tool_call") == (
+        "2024-01-01T12-34-56-789Z-u1-tool_call-pre.json",
+        "2024-01-01T12-34-56-789Z-u1-tool_call-post.json",
+    )
+
+
+# -- enhanceDataForReadability (spec describe block, 1:1) --------------------
+
+
+def test_parses_json_strings():
+    assert enhance_for_readability('{"key": "value"}') == {"key": "value"}
+
+
+def test_leaves_non_json_strings():
+    assert enhance_for_readability("not json") == "not json"
+
+
+def test_recursively_enhances_arrays():
+    assert enhance_for_readability(['{"nested": "json"}', "plain string"]) == [
+        {"nested": "json"},
+        "plain string",
+    ]
+
+
+def test_recursively_enhances_objects():
+    out = enhance_for_readability(
+        {
+            "nested": {"jsonString": '{"inner": "value"}', "plain": "text"},
+            "array": ['{"item": "data"}'],
+        }
+    )
+    assert out["nested"]["jsonString"] == {"inner": "value"}
+    assert out["nested"]["plain"] == "text"
+    assert out["array"][0] == {"item": "data"}
+
+
+def test_primitive_values_pass_through():
+    out = enhance_for_readability(
+        {"number": 42, "boolean": True, "nullValue": None}
+    )
+    assert out == {"number": 42, "boolean": True, "nullValue": None}
+
+
+def test_parse_is_single_level():
+    # reference returns JSON.parse(data) WITHOUT re-walking the result:
+    # nested JSON-strings inside the parsed value stay strings.
+    assert enhance_for_readability('{"a": "{\\"b\\": 1}"}') == {"a": '{"b": 1}'}
+
+
+def test_json_parse_strictness():
+    # JSON.parse rejects NaN/Infinity; so must the mirror
+    assert enhance_for_readability("NaN") == "NaN"
+    assert enhance_for_readability("Infinity") == "Infinity"
+    assert enhance_for_readability("42") == 42
+    assert enhance_for_readability("null") is None
+
+
+# -- Spark audit_frame analogue ----------------------------------------------
+
+
+@pytest.mark.spark
+def test_audit_frame_identity_and_readability(spark):
+    from gs_mcp_proxy_pii_redactor_spark.plans import ScrubJobConfig, build_pipeline
+    from gs_mcp_proxy_pii_redactor_spark.plans.job import audit_frame
+
+    df = spark.createDataFrame(
+        [
+            ("c0", 0, "user", '{"msg": "mail john doe"}', None),
+            ("c0", 1, "user", "plain john doe text", None),
+            ("c0", 2, "user", "nothing to redact here", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    cfg = ScrubJobConfig(
+        dictionary=("john doe",), detect_lang=False, score_ppl=False
+    )
+    result = build_pipeline(spark, df, cfg)
+    audit = {r.turn_idx: r for r in audit_frame(result, "tool_call").collect()}
+
+    assert set(audit) == {0, 1}  # only CHANGED rows (turn 2 untouched)
+    r0 = audit[0]
+    assert r0.operation == "tool_call"
+    # {ts}-{opID}-{operation}-{pre|post}.json, ts ISO with [:.] → '-'
+    pat = (
+        r"^\d{4}-\d{2}-\d{2}T\d{2}-\d{2}-\d{2}-\d{3}Z-"
+        + re.escape(r0.op_id)
+        + r"-tool_call-pre\.json$"
+    )
+    assert re.match(pat, r0.audit_name_pre), r0.audit_name_pre
+    assert r0.audit_name_post == r0.audit_name_pre.replace("-pre.", "-post.")
+    # readability: JSON text parsed, plain text kept as JSON string
+    assert json.loads(r0.pre_readable) == {"msg": "mail john doe"}
+    assert json.loads(audit[1].pre_readable) == "plain john doe text"
+    assert json.loads(audit[1].post_readable) == "plain [REDACTED] text"

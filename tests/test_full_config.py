@@ -1,0 +1,184 @@
+"""Full proxy-config loader parity (ported from the reference's
+config.service.spec.ts: loading, env expansion in headers, options
+inheritance, group membership)."""
+
+import json
+import threading
+
+import pytest
+
+from gs_mcp_proxy_pii_redactor_spark.plans.config import (
+    is_server_in_group,
+    load_full_config,
+)
+
+
+def _write(tmp_path, obj, name="config.json"):
+    p = tmp_path / name
+    p.write_text(json.dumps(obj))
+    return str(p)
+
+
+BASE = {"mcpProxy": {"options": {}}}
+
+
+def test_load_from_file_absolute(tmp_path):
+    cfg = load_full_config(_write(tmp_path, BASE))
+    assert cfg["mcpProxy"]["type"] == "streamable-http"  # default type
+    assert cfg["mcpServers"] == {} and cfg["groups"] == {}
+
+
+def test_missing_mcp_proxy_raises(tmp_path):
+    with pytest.raises(ValueError, match="mcpProxy is required"):
+        load_full_config(_write(tmp_path, {"mcpServers": {}}))
+
+
+def test_load_from_http_url(tmp_path):
+    import http.server
+
+    payload = {
+        "mcpProxy": {"options": {"authTokens": ["t1"]}},
+        "mcpServers": {"s1": {}},
+    }
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        cfg = load_full_config(f"http://127.0.0.1:{srv.server_port}/config.json")
+        assert cfg["mcpServers"]["s1"]["options"]["authTokens"] == ["t1"]
+    finally:
+        srv.shutdown()
+
+
+def test_env_expansion_in_headers(tmp_path):
+    obj = {
+        "mcpProxy": {"options": {}},
+        "mcpServers": {
+            "s1": {"headers": {"Authorization": "Bearer ${TOK}", "X-Plain": "v"}}
+        },
+    }
+    cfg = load_full_config(_write(tmp_path, obj), env={"TOK": "abc"})
+    assert cfg["mcpServers"]["s1"]["headers"]["Authorization"] == "Bearer abc"
+    assert cfg["mcpServers"]["s1"]["headers"]["X-Plain"] == "v"
+
+
+def test_env_expansion_multiple_vars_one_header(tmp_path):
+    obj = {
+        "mcpProxy": {},
+        "mcpServers": {"s1": {"headers": {"X": "${A}-${B}"}}},
+    }
+    cfg = load_full_config(_write(tmp_path, obj), env={"A": "1", "B": "2"})
+    assert cfg["mcpServers"]["s1"]["headers"]["X"] == "1-2"
+
+
+def test_env_unset_raises_with_header_name(tmp_path):
+    obj = {
+        "mcpProxy": {},
+        "mcpServers": {"s1": {"headers": {"Authorization": "${MISSING}"}}},
+    }
+    with pytest.raises(KeyError, match="MISSING.*Authorization.*is not set"):
+        load_full_config(_write(tmp_path, obj), env={})
+
+
+# -- options inheritance (spec describe 'options inheritance') ---------------
+
+
+def _inherit_case(proxy_opts, server_opts):
+    obj = {
+        "mcpProxy": {"options": proxy_opts},
+        "mcpServers": {"s1": {"options": server_opts} if server_opts is not None else {}},
+    }
+    return load_full_config_obj(obj)["mcpServers"]["s1"]["options"]
+
+
+def load_full_config_obj(obj):
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump(obj, f)
+        path = f.name
+    return load_full_config(path, env={})
+
+
+def test_inherits_auth_tokens():
+    out = _inherit_case({"authTokens": ["tok"]}, None)
+    assert out["authTokens"] == ["tok"]
+
+
+def test_inherits_panic_if_invalid():
+    out = _inherit_case({"panicIfInvalid": False}, None)
+    assert out["panicIfInvalid"] is False  # falsy values still inherit
+
+
+def test_inherits_log_enabled():
+    out = _inherit_case({"logEnabled": True}, None)
+    assert out["logEnabled"] is True
+
+
+def test_does_not_override_existing():
+    out = _inherit_case(
+        {"authTokens": ["parent"], "logEnabled": True},
+        {"authTokens": ["child"]},
+    )
+    assert out["authTokens"] == ["child"]  # kept
+    assert out["logEnabled"] is True  # still inherited
+
+
+def test_redaction_not_inherited():
+    out = _inherit_case(
+        {"authTokens": ["t"], "redaction": {"enabled": True}}, None
+    )
+    assert out["authTokens"] == ["t"]
+    assert "redaction" not in out
+
+
+def test_multiple_servers_inheritance():
+    obj = {
+        "mcpProxy": {"options": {"authTokens": ["t"], "logEnabled": True}},
+        "mcpServers": {
+            "server1": {},
+            "server2": {"options": {"logEnabled": False}},
+        },
+    }
+    cfg = load_full_config_obj(obj)
+    s1 = cfg["mcpServers"]["server1"]["options"]
+    s2 = cfg["mcpServers"]["server2"]["options"]
+    assert s1 == {"authTokens": ["t"], "logEnabled": True}
+    assert s2["authTokens"] == ["t"] and s2["logEnabled"] is False
+
+
+def test_initializes_missing_options():
+    cfg = load_full_config_obj({"mcpProxy": {}, "mcpServers": {"s": {}}})
+    assert cfg["mcpProxy"]["options"] == {}
+    assert cfg["mcpServers"]["s"]["options"] == {}
+
+
+# -- group membership ---------------------------------------------------------
+
+
+def test_group_membership():
+    cfg = {"groups": {"g1": ["a", "b"]}}
+    assert is_server_in_group(cfg, None, "x")  # no group → all pass
+    assert is_server_in_group(cfg, "unknown", "x")  # unknown group → all pass
+    assert is_server_in_group(cfg, "g1", "a")
+    assert not is_server_in_group(cfg, "g1", "x")
+
+
+def test_empty_auth_tokens_not_inherited():
+    # reference: `if (child.authTokens === undefined && parent.authTokens)`
+    # — an empty (falsy) parent list does NOT inherit
+    out = _inherit_case({"authTokens": []}, None)
+    assert "authTokens" not in out
