@@ -1,5 +1,6 @@
 """Large-scale training-data operators: dedup, similarity, text stats, multimodal."""
 
+from .asof import asof_join
 from .dedup import (
     exact_dedup,
     minhash_candidate_pairs,
@@ -24,6 +25,7 @@ from .similarity import (
     cosine_sim,
     embedding_near_dup_pairs,
     lsh_topk,
+    make_multi_sign_lsh_udf,
     make_sign_lsh_udf,
 )
 from .textstats import (
@@ -37,6 +39,8 @@ from .textstats import (
 )
 
 __all__ = [
+    "asof_join",
+    "make_multi_sign_lsh_udf",
     "exact_dedup",
     "minhash_candidate_pairs",
     "minhash_dedup",

@@ -1,0 +1,117 @@
+"""As-of (point-in-time) join — Spark-first, one shuffle.
+
+The reference needs no as-of join (SURVEY §2.5 J4: N/A), but a
+training-data pipeline over event streams does (attach the latest
+feature/label row at-or-before each observation). Implemented WITHOUT a
+range-explode or per-key loop:
+
+    union(left tagged 1, right tagged 0)
+      → window partitionBy(by) orderBy(on, side, tiebreak)
+      → last(payload, ignorenulls=True) over rows up to current
+      → keep left rows
+
+One hash shuffle on ``by`` total; within each key the window is a
+single ordered pass, so cost is O(n log n) per key for the sort the
+exchange already pays. This is the standard scalable shape — the same
+plan Flink/kdb-style asof joins lower to. Skewed keys behave like any
+keyed window (AQE handles the exchange; a hot key is one sorted run).
+
+Semantics match pandas ``merge_asof(direction='backward')`` /
+DuckDB ``ASOF JOIN``: for each left row, the right row with the
+greatest ``on`` ≤ left.on (ties include the right row). ``tolerance``
+nulls the payload when left.on - right.on exceeds it. ``forward``
+direction mirrors with ≥ and min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: str | list[str],
+    on: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tolerance: Column | int | float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Attach the latest (backward) / earliest (forward) right row's
+    ``value_cols`` to every left row, matched per ``by`` group on ``on``.
+
+    Returns left's columns plus ``{v}{suffix}`` per value col and
+    ``{on}{suffix}`` (the matched right timestamp; null when no match).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    by = [by] if isinstance(by, str) else list(by)
+    for v in value_cols:
+        if v in left.columns:
+            raise ValueError(f"value col {v} collides with a left column")
+
+    left_cols = left.columns
+    # side=1 marks left rows; at equal `on`, right (0) sorts first so the
+    # backward window INCLUDES the tied right row (merge_asof semantics).
+    l_tagged = left.withColumn("_side", F.lit(1))
+    r_tagged = right.select(
+        *by,
+        F.col(on).alias(on),
+        F.lit(0).alias("_side"),
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(v) for v in value_cols],
+    )
+    for c in left_cols:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None))
+    for c in (f"{on}{suffix}", *value_cols):
+        l_tagged = l_tagged.withColumn(c, F.lit(None))
+    unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.asc(on), F.asc("_side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.asc(on), F.desc("_side"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
+
+    matched = unioned.select(
+        *left_cols,
+        "_side",
+        pick(F.col(f"{on}{suffix}"), ignorenulls=True).over(w).alias(
+            f"{on}{suffix}"
+        ),
+        *[
+            pick(F.col(v), ignorenulls=True).over(w).alias(f"{v}{suffix}")
+            for v in value_cols
+        ],
+    ).filter(F.col("_side") == 1).drop("_side")
+
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        gap = (
+            F.col(on) - F.col(f"{on}{suffix}")
+            if direction == "backward"
+            else F.col(f"{on}{suffix}") - F.col(on)
+        )
+        keep = F.col(f"{on}{suffix}").isNotNull() & (gap <= tol)
+        matched = matched.select(
+            *left_cols,
+            F.when(keep, F.col(f"{on}{suffix}")).alias(f"{on}{suffix}"),
+            *[
+                F.when(keep, F.col(f"{v}{suffix}")).alias(f"{v}{suffix}")
+                for v in value_cols
+            ],
+        )
+    return matched

@@ -48,12 +48,21 @@ def tokenize(text_col: str | Column) -> Column:
 
 
 def shingles(text_col: str | Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (JVM transform/slice)."""
+    """Word n-gram shingles as an array<string> (JVM transform/slice).
+
+    Short texts (< n tokens) yield an EMPTY array. NB: ``sequence(1, 0)``
+    is DESCENDING ``[1, 0]`` in Spark, and ``slice(arr, 0, n)`` throws
+    under ANSI mode — the count must be clamped ≥ 1 and the short-text
+    case gated out explicitly.
+    """
     toks = tokenize(text_col)
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count),
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(count >= 1, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

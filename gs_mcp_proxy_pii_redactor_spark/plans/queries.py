@@ -1098,6 +1098,73 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Q33 — as-of (point-in-time) join: latest purchase at-or-before each click
+
+
+def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py — union + keyed window,
+    ONE shuffle, no range explode). Oracle: DuckDB's native ASOF JOIN.
+    The right side is pre-aggregated to unique (user_id, sec) so ties
+    are deterministic on both engines."""
+    from ..operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    sec = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long") * 86400
+        + F.hour("ts").cast("long") * 3600
+        + F.minute("ts").cast("long") * 60
+        + F.second("ts").cast("long")
+    )
+    base = ev.select(
+        "user_id", "event_id", "event_type", "value", sec.alias("sec")
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "sec"
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "sec")
+        .agg(F.round(F.max("value"), 6).alias("purch_value"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        by="user_id",
+        on="sec",
+        value_cols=["purch_value"],
+        suffix="_p",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "sec",
+        F.col("sec_p").alias("purch_sec"),
+        F.col("purch_value_p").alias("purch_value"),
+    ).orderBy("user_id", "event_id")
+
+
+_Q33_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, value,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 86400
+         + date_part('hour', ts) * 3600
+         + date_part('minute', ts) * 60
+         + date_part('second', ts) AS sec
+  FROM events
+),
+c AS (SELECT user_id, event_id, sec FROM e WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, sec, round(max(value), 6) AS purch_value
+  FROM e WHERE event_type = 'purchase' GROUP BY user_id, sec
+)
+SELECT c.user_id, c.event_id, c.sec,
+       p.sec AS purch_sec, p.purch_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.sec >= p.sec
+ORDER BY c.user_id, c.event_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_email_redact": q02_email_redact,
@@ -1131,6 +1198,7 @@ QUERIES = {
     "q20_kernel_scrub": q20_kernel_scrub,
     "q21_langid": q21_langid,
     "q22_minhash_verified_pairs": q22_minhash_verified_pairs,
+    "q33_asof_join": q33_asof_join,
 }
 
 ORACLE_SQL = {
@@ -1163,6 +1231,7 @@ ORACLE_SQL = {
     "q30_embedding_neardup_exact": _Q30_SQL,
     "q20_kernel_scrub": _Q20_SQL,
     "q22_minhash_verified_pairs": _Q22_SQL,
+    "q33_asof_join": _Q33_SQL,
     "q31_embedding_neardup_lsh": _q31_oracle_sql(),
     "q32_toxicity_ratio": _Q32_SQL,
     # q21 langid stays rows-only: the heuristic scorer isn't

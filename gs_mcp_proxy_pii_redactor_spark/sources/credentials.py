@@ -1,0 +1,53 @@
+"""Dictionary-store credential normalization.
+
+Parity port of the reference's service-account plumbing
+(reference: src/redaction/redaction.service.ts:176-208). In the Spark
+rebuild these credentials would feed the Hadoop connector configuration
+for the remote dictionary store (SURVEY §2.2 S1); the normalization
+rules themselves are identical:
+
+* ``MCP_PROXY_SERVICE_ACCOUNT_B64`` (trimmed, when non-empty) wins and
+  is base64-decoded to UTF-8;
+* else ``MCP_PROXY_SERVICE_ACCOUNT`` (trimmed); empty/unset → None;
+* the raw JSON's ``private_key`` gets literal ``\\n`` → newline
+  normalization ONLY when it contains no real newline (shell-embedded
+  JSON), then the object is re-serialized;
+* invalid base64 / JSON raise with the reference's message shapes.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import json
+import os
+
+B64_ENV = "MCP_PROXY_SERVICE_ACCOUNT_B64"
+RAW_ENV = "MCP_PROXY_SERVICE_ACCOUNT"
+
+
+def service_account_json(env: dict[str, str] | None = None) -> str | None:
+    """Resolve + normalize the service-account JSON (ts:176-208)."""
+    env = env if env is not None else dict(os.environ)
+
+    b64 = (env.get(B64_ENV) or "").strip()
+    if b64:
+        try:
+            return base64.b64decode(b64, validate=True).decode("utf-8")
+        except (binascii.Error, UnicodeDecodeError) as e:
+            raise ValueError(
+                f"Failed to base64-decode {B64_ENV}: {e}"
+            ) from e
+
+    raw = (env.get(RAW_ENV) or "").strip()
+    if not raw:
+        return None
+
+    try:
+        parsed = json.loads(raw)
+    except ValueError as e:
+        raise ValueError(f"Invalid service account JSON: {e}") from e
+    pk = parsed.get("private_key") if isinstance(parsed, dict) else None
+    if isinstance(pk, str) and "\\n" in pk and "\n" not in pk:
+        parsed["private_key"] = pk.replace("\\n", "\n")
+    return json.dumps(parsed)

@@ -131,3 +131,53 @@ def test_audit_frame(spark, sf_dir):
     for r in rows:
         assert r.text_pre != r.text_post
         assert len(r.op_id) == 36  # uuid
+
+
+# -- service-account credential normalization (redaction.service.ts:176-208) --
+
+
+def test_service_account_b64_wins():
+    import base64
+
+    from gs_mcp_proxy_pii_redactor_spark.sources.credentials import (
+        service_account_json,
+    )
+
+    payload = '{"client_email": "x@y", "private_key": "abc"}'
+    env = {
+        "MCP_PROXY_SERVICE_ACCOUNT_B64": base64.b64encode(payload.encode()).decode(),
+        "MCP_PROXY_SERVICE_ACCOUNT": '{"other": 1}',
+    }
+    assert service_account_json(env) == payload
+
+
+def test_service_account_raw_newline_normalization():
+    import json
+
+    from gs_mcp_proxy_pii_redactor_spark.sources.credentials import (
+        service_account_json,
+    )
+
+    raw = '{"private_key": "-----BEGIN\\\\nKEY\\\\nEND-----"}'
+    # the file above contains literal backslash-n (shell-embedded JSON)
+    out = json.loads(service_account_json({"MCP_PROXY_SERVICE_ACCOUNT": raw}))
+    assert out["private_key"] == "-----BEGIN\nKEY\nEND-----"
+    # already-real newlines are left alone
+    raw2 = json.dumps({"private_key": "A\nB\\nC"})
+    out2 = json.loads(service_account_json({"MCP_PROXY_SERVICE_ACCOUNT": raw2}))
+    assert out2["private_key"] == "A\nB\\nC"
+
+
+def test_service_account_empty_and_errors():
+    import pytest
+
+    from gs_mcp_proxy_pii_redactor_spark.sources.credentials import (
+        service_account_json,
+    )
+
+    assert service_account_json({}) is None
+    assert service_account_json({"MCP_PROXY_SERVICE_ACCOUNT": "  "}) is None
+    with pytest.raises(ValueError, match="Failed to base64-decode"):
+        service_account_json({"MCP_PROXY_SERVICE_ACCOUNT_B64": "!!!notb64!!!"})
+    with pytest.raises(ValueError, match="Invalid service account JSON"):
+        service_account_json({"MCP_PROXY_SERVICE_ACCOUNT": "{broken"})

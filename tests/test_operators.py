@@ -260,3 +260,94 @@ def test_minhash_permutations_are_independent(spark):
     est = sum(1 for x, y in zip(rows[0], rows[1]) if x == y) / 64.0
     # true 3-gram Jaccard here is 4/12 = 0.333; estimator must land nearby
     assert 0.05 < est < 0.7, est
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Backward/forward as-of vs pandas merge_asof on randomized data,
+    plus tolerance and no-match-null semantics."""
+    import pandas as pd
+
+    from gs_mcp_proxy_pii_redactor_spark.operators.asof import asof_join
+
+    rng = np.random.RandomState(5)
+    left_rows = [
+        (int(k), int(t), i)
+        for i, (k, t) in enumerate(
+            zip(rng.randint(0, 4, 60), rng.randint(0, 1000, 60))
+        )
+    ]
+    # right unique per (k, t) for deterministic ties
+    seen = set()
+    right_rows = []
+    for k, t in zip(rng.randint(0, 4, 40), rng.randint(0, 1000, 40)):
+        if (int(k), int(t)) not in seen:
+            seen.add((int(k), int(t)))
+            right_rows.append((int(k), int(t), float(len(seen))))
+    left = spark.createDataFrame(left_rows, "k int, t int, lid int")
+    right = spark.createDataFrame(right_rows, "k int, t int, v double")
+
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: (r.t_asof, r.v_asof)
+            for r in asof_join(
+                left, right, by="k", on="t", value_cols=["v"],
+                direction=direction,
+            ).collect()
+        }
+        lpd = pd.DataFrame(left_rows, columns=["k", "t", "lid"]).sort_values("t")
+        rpd = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values("t")
+        exp = pd.merge_asof(
+            lpd, rpd, on="t", by="k", direction=direction, suffixes=("", "_r")
+        )
+        for _, row in exp.iterrows():
+            gt, gv = got[row.lid]
+            if pd.isna(row.v):
+                assert gv is None, (direction, row.lid, gv)
+            else:
+                assert gv == row.v, (direction, row.lid, gv, row.v)
+                assert gt is not None
+
+    # tolerance: match only within 10 ticks
+    tol = {
+        r.lid: (r.t_asof, r.v_asof)
+        for r in asof_join(
+            left, right, by="k", on="t", value_cols=["v"], tolerance=10
+        ).collect()
+    }
+    lpd = pd.DataFrame(left_rows, columns=["k", "t", "lid"]).sort_values("t")
+    rpd = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values("t")
+    exp = pd.merge_asof(lpd, rpd, on="t", by="k", tolerance=10)
+    for _, row in exp.iterrows():
+        gt, gv = tol[row.lid]
+        assert (gv is None) == bool(pd.isna(row.v)), (row.lid, gv, row.v)
+
+
+def test_asof_join_tie_includes_equal_timestamp(spark):
+    from gs_mcp_proxy_pii_redactor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 0)], "k int, t int, lid int")
+    right = spark.createDataFrame([(1, 10, 7.0)], "k int, t int, v double")
+    r = asof_join(left, right, by="k", on="t", value_cols=["v"]).first()
+    assert r.v_asof == 7.0 and r.t_asof == 10
+
+
+def test_shingles_short_and_empty_texts(spark):
+    """Regression: sequence(1, 0) is DESCENDING in Spark — texts with
+    < n tokens made slice() throw under ANSI mode."""
+    from gs_mcp_proxy_pii_redactor_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "one two"), (3, "one two three"),
+         (4, "one two three four"), (5, None)],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.sh for r in df.select("doc_id", shingles("text", 3).alias("sh")).collect()}
+    assert rows[0] == [] and rows[1] == [] and rows[2] == []
+    assert rows[3] == ["one two three"]
+    assert rows[4] == ["one two three", "two three four"]
+    assert rows[5] == []  # null text tokenizes empty
+    # whole candidate pipeline survives degenerate rows
+    assert minhash_candidate_pairs(df, "doc_id", "text").count() >= 0
