@@ -4,6 +4,7 @@ from .scrub_stream import (
     TRANSCRIPT_SCHEMA,
     run_scrub_stream,
     streaming_drop_reason_counts,
+    streaming_exact_dedup,
 )
 from .stateful import conversation_state_stream
 
@@ -11,5 +12,6 @@ __all__ = [
     "TRANSCRIPT_SCHEMA",
     "run_scrub_stream",
     "streaming_drop_reason_counts",
+    "streaming_exact_dedup",
     "conversation_state_stream",
 ]

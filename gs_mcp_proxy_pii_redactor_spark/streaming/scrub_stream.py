@@ -68,6 +68,32 @@ def run_scrub_stream(
     return writer.start()
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on the normalized text fingerprint.
+
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST-seen row per
+    fingerprint and expires dedup state once the watermark passes —
+    bounded state, unlike a naive dropDuplicates which grows forever on
+    an unbounded stream. Batch equivalence: same keep-one-per-fingerprint
+    semantics as operators/dedup.exact_dedup for rows within the
+    watermark horizon (tests/test_streaming.py pins stream == batch for
+    a replayed file stream).
+    """
+    from ..operators.dedup import normalized_fingerprint
+
+    return (
+        stream.withColumn("_fp", normalized_fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+
+
 def streaming_drop_reason_counts(
     result_stream: DataFrame,
     window_duration: str = "10 minutes",

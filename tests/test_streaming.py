@@ -108,3 +108,65 @@ def test_stateful_conversation_stats(spark, sf_dir, tmp_path):
         assert (g.n_turns, g.n_keep, g.n_redacted, g.max_turn_idx) == (
             e.n_turns, e.n_keep, e.n_redacted, e.max_turn_idx
         ), cid
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per fingerprint across
+    micro-batches; result set == batch exact_dedup keys on a replayed
+    file stream (duplicates split across separate input files)."""
+    from gs_mcp_proxy_pii_redactor_spark.operators.dedup import exact_dedup
+    from gs_mcp_proxy_pii_redactor_spark.streaming import (
+        TRANSCRIPT_SCHEMA,
+        streaming_exact_dedup,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base_ts = "2024-01-01 00:{:02d}:00"
+    rows1 = [
+        ("c0", 0, "user", "Alpha beta gamma!", None, base_ts.format(1)),
+        ("c0", 1, "user", "unique one here", None, base_ts.format(2)),
+        ("c0", 2, "user", "alpha beta gamma", None, base_ts.format(3)),  # dup of 0
+    ]
+    rows2 = [
+        ("c1", 0, "user", "ALPHA beta gamma.", None, base_ts.format(4)),  # dup of 0
+        ("c1", 1, "user", "another unique", None, base_ts.format(5)),
+    ]
+    for i, rows in enumerate((rows1, rows2)):
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force multi-micro-batch replay
+        .parquet(inp)
+    )
+    deduped = streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch = spark.read.parquet(inp)
+    expected = exact_dedup(batch, "conv_id", "text")  # one keeper per fp
+    assert got.count() == 3  # 5 rows, 2 dups dropped
+    # same fingerprint SET as batch dedup (keeper choice may differ:
+    # stream keeps first-arrival, batch keeps min-id)
+    from gs_mcp_proxy_pii_redactor_spark.operators.dedup import (
+        normalized_fingerprint,
+    )
+
+    fps = lambda df: {  # noqa: E731
+        r._fp for r in df.withColumn("_fp", normalized_fingerprint("text")).select("_fp").collect()
+    }
+    assert fps(got) == fps(expected)
