@@ -1,0 +1,114 @@
+"""Physical-plan regression tests — pin the scale properties the design
+docs claim (docs/PLANS.md), so a future refactor that silently adds an
+exchange, drops a broadcast, or breaks filter pushdown fails CI instead
+of surfacing at 100 TB.
+
+Each test asserts on the ANALYZED/EXECUTED plan string, not timings —
+deterministic on any host.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gs_mcp_proxy_pii_redactor_spark.plans import ScrubJobConfig, build_pipeline
+from gs_mcp_proxy_pii_redactor_spark.sources import (
+    PARITY_DICTIONARY,
+    synthesize_transcripts,
+)
+
+pytestmark = pytest.mark.spark
+
+
+def _executed_plan(df) -> str:
+    # executedPlan = after EnsureRequirements: exchanges are visible
+    # (sparkPlan is BEFORE exchange insertion and never shows them)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scrub_pipeline_is_shuffle_free(spark, sf_dir):
+    """Branch A (per-turn scrub): scan → Arrow UDF → projections → done.
+    ZERO exchanges — the core 100 TB property (PLANS.md §1)."""
+    transcripts = synthesize_transcripts(spark, sf_dir, turns_per_doc=2)
+    cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
+    result = build_pipeline(spark, transcripts, cfg)
+    plan = _executed_plan(result)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "ArrowEvalPython" in plan  # the single fused Python stage
+    # exactly ONE Python eval node: scrub+langid+ppl fused
+    assert plan.count("ArrowEvalPython") == 1, plan.count("ArrowEvalPython")
+
+
+def test_broadcast_join_for_small_dims(spark, sf_dir):
+    """q19/q23 dims must broadcast — no fact-side shuffle (PLANS.md)."""
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import (
+        q19_orders_by_segment,
+        q23_customers_by_region,
+    )
+
+    for q in (q19_orders_by_segment, q23_customers_by_region):
+        plan = _executed_plan(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, (q.__name__, plan[:1500])
+        assert "SortMergeJoin" not in plan, q.__name__
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """q17 top-k must be TakeOrderedAndProject, not a global sort."""
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import q17_topk_docs
+
+    plan = _executed_plan(q17_topk_docs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """Predicate + column pruning must reach the parquet scan."""
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") < 100).select("doc_id", "lang")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan, plan[:1500]
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan[:1500]
+
+
+def test_asof_join_single_exchange(spark):
+    """asof_join = union + ONE keyed window: exactly one Exchange
+    (hashpartitioning on the by-key), no range-explode joins."""
+    from gs_mcp_proxy_pii_redactor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 0)], "k int, t int, lid int")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k int, t int, v double")
+    out = asof_join(left, right, by="k", on="t", value_cols=["v"])
+    plan = _executed_plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Join" not in plan  # no join operator at all — window only
+
+
+def test_exact_dedup_no_window_sort(spark, sf_dir):
+    """exact_dedup = two hash aggs + semi join; no Window/global Sort."""
+    from gs_mcp_proxy_pii_redactor_spark.operators.dedup import exact_dedup
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    plan = _executed_plan(exact_dedup(docs, "doc_id", "text"))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_minhash_pair_shuffle_excludes_signatures(spark, sf_dir):
+    """The LSH pair self-join must shuffle only (band, bucket, id) —
+    signature arrays re-attach AFTER pair dedup (PLANS.md §4)."""
+    from gs_mcp_proxy_pii_redactor_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text")
+    plan = _executed_plan(pairs)
+    # the band-bucket self-join keys on [band, bucket] with id inequality
+    # (join strategy varies with stats: broadcast at test scale, shuffle
+    # at 100 TB — the invariant is WHAT is joined, not how)
+    joins = [ln for ln in plan.splitlines() if "Join [band" in ln or "Join [ band" in ln]
+    pair_joins = [ln for ln in joins if "bucket" in ln]
+    assert pair_joins, plan[:2000]
+    assert all("_sig" not in ln for ln in pair_joins), pair_joins
