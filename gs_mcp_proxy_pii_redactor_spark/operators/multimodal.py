@@ -1,23 +1,32 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The Spark-side contract is real and tested — schema, Arrow batch shape,
-``mapInPandas`` partitioned decode, typed metadata — while the actual
-codec step is stubbed (no image/audio libraries in this container):
+Round 2 upgrade: the container has no PIL/ffmpeg, but that only rules
+out EXTERNAL codecs — so this module ships a self-contained RAW toy
+codec (pure numpy, deterministic) and runs the REAL pipeline shape end
+to end: encode → binary column → ``mapInPandas`` decode → feature
+extraction / nearest-neighbor resize / per-frame explode. A production
+deployment swaps ``decode_image``/``decode_audio`` for PIL/ffmpeg calls
+with identical batch-iterator shapes; everything else stays.
 
-* ``decode_stub=True`` → deterministic fake features derived from the
-  payload bytes (stable across executors, usable in tests/bench);
-* ``decode_stub=False`` → raises NotImplementedError where a real
-  decoder (PIL/ffmpeg/torchaudio) would plug in, with the exact
-  batch-iterator shape a real implementation must keep.
+Wire formats (little-endian):
+
+* image  ``RAW1 | u16 w | u16 h | u8 c | w*h*c u8 pixels``
+* audio  ``RAWA | u32 rate | u32 n  | n  i16 samples``
+* video  ``RAWV | u16 fps | u16 n_frames | n_frames × RAW1 blocks``
+
+Unknown payloads: ``decode='stub'`` hashes bytes into a deterministic
+pseudo-embedding (round-1 behavior, still useful for foreign blobs);
+``decode='strict'`` raises — the hook where an external codec plugs in.
 
 At scale: binary payloads dominate row size, so ``maxRecordsPerBatch``
-must be set low for these stages (see bench configs), and decode runs
-``mapInPandas`` so one malformed payload fails one row, not the task.
+must be set low for these stages, and decode runs ``mapInPandas`` so a
+malformed payload fails one row, not the task.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -58,9 +67,111 @@ FEATURES_SCHEMA = StructType(
     ]
 )
 
+MAGIC_IMG = b"RAW1"
+MAGIC_AUD = b"RAWA"
+MAGIC_VID = b"RAWV"
+
+
+# -- codec (pure numpy; PIL/ffmpeg replacement point) -------------------------
+
+
+def encode_image(arr: np.ndarray) -> bytes:
+    """(h, w[, c]) uint8 → RAW1 bytes."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    return (
+        MAGIC_IMG
+        + struct.pack("<HHB", w, h, c)
+        + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    if payload[:4] != MAGIC_IMG:
+        raise ValueError("not a RAW1 image payload")
+    w, h, c = struct.unpack("<HHB", payload[4:9])
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * c, offset=9)
+    return pix.reshape(h, w, c)
+
+
+def encode_audio(samples: np.ndarray, rate: int) -> bytes:
+    s = np.ascontiguousarray(samples, dtype=np.int16)
+    return MAGIC_AUD + struct.pack("<II", rate, len(s)) + s.tobytes()
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    if payload[:4] != MAGIC_AUD:
+        raise ValueError("not a RAWA audio payload")
+    rate, n = struct.unpack("<II", payload[4:12])
+    return rate, np.frombuffer(payload, dtype="<i2", count=n, offset=12)
+
+
+def encode_video(frames: list[np.ndarray], fps: int) -> bytes:
+    blocks = [encode_image(f) for f in frames]
+    return MAGIC_VID + struct.pack("<HH", fps, len(blocks)) + b"".join(blocks)
+
+
+def decode_video(payload: bytes) -> tuple[int, list[np.ndarray]]:
+    if payload[:4] != MAGIC_VID:
+        raise ValueError("not a RAWV video payload")
+    fps, n = struct.unpack("<HH", payload[4:8])
+    frames, off = [], 8
+    for _ in range(n):
+        w, h, c = struct.unpack("<HHB", payload[off + 4 : off + 9])
+        size = 9 + w * h * c
+        frames.append(decode_image(payload[off : off + size]))
+        off += size
+    return fps, frames
+
+
+def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resize (the PIL.Image.resize replacement)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    src_h, src_w = arr.shape[:2]
+    ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+    xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+    return arr[ys][:, xs]
+
+
+# -- features -----------------------------------------------------------------
+
+
+def _image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real content features: per-channel mean/std + 24-bin gray histogram
+    + shape — deterministic, resolution-normalized."""
+    f = np.zeros(dim, dtype=np.float32)
+    c = img.shape[2]
+    for i in range(min(c, 3)):
+        ch = img[:, :, i].astype(np.float64)
+        f[2 * i] = ch.mean() / 255.0
+        f[2 * i + 1] = ch.std() / 255.0
+    gray = img.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=24, range=(0, 255))
+    f[6:30] = hist / max(gray.size, 1)
+    f[30] = img.shape[1] / 4096.0
+    f[31] = img.shape[0] / 4096.0
+    return f
+
+
+def _audio_features(rate: int, samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    f = np.zeros(dim, dtype=np.float32)
+    x = samples.astype(np.float64) / 32768.0
+    if len(x):
+        f[0] = np.sqrt((x**2).mean())  # rms
+        f[1] = (np.diff(np.signbit(x)) != 0).mean() if len(x) > 1 else 0.0  # zcr
+        mag = np.abs(np.fft.rfft(x))
+        bins = np.array_split(mag, 28)
+        f[2:30] = [b.mean() / (len(x) or 1) for b in bins]
+    f[30] = rate / 48000.0
+    f[31] = len(x) / 1e6
+    return f
+
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Deterministic pseudo-embedding from payload bytes (sha256-seeded)."""
+    """Deterministic pseudo-embedding from payload bytes (sha256-seeded)
+    — the fallback for payloads in formats this engine can't decode."""
     digest = hashlib.sha256(payload or b"").digest()
     seed = int.from_bytes(digest[:8], "little") % (2**31)
     rng = np.random.RandomState(seed)
@@ -68,20 +179,46 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return v / (np.linalg.norm(v) + 1e-9)
 
 
-def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
-    """media table → (media_id, kind, n_bytes, features) via mapInPandas."""
+def _decode_features(payload: bytes, mode: str) -> np.ndarray:
+    if mode != "stub" and isinstance(payload, (bytes, bytearray)):
+        head = bytes(payload[:4])
+        if head == MAGIC_IMG:
+            return _image_features(decode_image(bytes(payload)))
+        if head == MAGIC_AUD:
+            return _audio_features(*decode_audio(bytes(payload)))
+        if head == MAGIC_VID:
+            _, frames = decode_video(bytes(payload))
+            if frames:
+                return np.mean([_image_features(fr) for fr in frames], axis=0)
+    if mode == "strict":
+        raise NotImplementedError(
+            "real media decode for non-RAW payloads requires an external "
+            "codec (PIL/ffmpeg); plug it in at operators/multimodal.py "
+            "_decode_features keeping this (payload → ndarray) shape"
+        )
+    return _fake_features(payload if isinstance(payload, (bytes, bytearray)) else b"")
+
+
+def extract_features(
+    df: DataFrame,
+    decode_stub: bool | None = None,
+    mode: str = "auto",
+) -> DataFrame:
+    """media table → (media_id, kind, n_bytes, features) via mapInPandas.
+
+    mode: 'auto' = real decode for RAW payloads, hash-stub otherwise;
+    'stub' = always hash; 'strict' = real decode or raise.
+    ``decode_stub`` kept for round-1 compat (True→'stub', False→'strict').
+    """
+    if decode_stub is not None:
+        mode = "stub" if decode_stub else "strict"
+    if mode not in ("auto", "stub", "strict"):
+        raise ValueError(f"unknown mode: {mode}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; plug the codec "
-                    "in here keeping this (batch-in → batch-out) shape"
-                )
             feats = [
-                _fake_features(p if isinstance(p, (bytes, bytearray)) else b"")
-                .tolist()
-                for p in pdf["payload"]
+                _decode_features(p, mode).tolist() for p in pdf["payload"]
             ]
             yield pd.DataFrame(
                 {
@@ -97,35 +234,82 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
 
+def resize_images(df: DataFrame, w: int, h: int) -> DataFrame:
+    """RAW1 image payloads → resized RAW1 payloads (real pixel op)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                encode_image(resize_nearest(decode_image(bytes(p)), w, h))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "width": w,
+                    "height": h,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, out_schema)
+
+
+# -- synthesis ----------------------------------------------------------------
+
+
+def _synth_image(i: int) -> np.ndarray:
+    """Deterministic gradient+checker pattern, id-dependent size/phase."""
+    w, h = 64 + (i % 8) * 16, 64 + (i % 5) * 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = ((xx * (1 + i % 3)) % 256).astype(np.uint8)
+    g = ((yy * (2 + i % 5)) % 256).astype(np.uint8)
+    b = (((xx // 8 + yy // 8 + i) % 2) * 255).astype(np.uint8)
+    return np.stack([r, g, b], axis=2)
+
+
+def _synth_audio(i: int) -> tuple[int, np.ndarray]:
+    rate = 8000
+    t = np.arange(rate // 4)  # 250 ms
+    freq = 110 * (1 + i % 16)
+    return rate, (10000 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+
+
 def synthesize_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    """Deterministic media table with REAL (toy-codec) payloads."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
-        rows.append(
-            (
-                i,
-                kind,
-                bytearray(payload),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[
-                    kind
-                ],
-                64 + (i % 8) * 16 if kind == "image" else None,
-                64 + (i % 5) * 16 if kind == "image" else None,
-                1000 * (1 + i % 30) if kind != "image" else None,
-            )
-        )
+        if kind == "image":
+            img = _synth_image(i)
+            payload, w, h, dur = encode_image(img), img.shape[1], img.shape[0], None
+            mime = "image/x-raw1"
+        elif kind == "audio":
+            rate, samples = _synth_audio(i)
+            payload, w, h = encode_audio(samples, rate), None, None
+            dur = int(1000 * len(samples) / rate)
+            mime = "audio/x-rawa"
+        else:
+            fps = 4
+            frames = [_synth_image(i + k) for k in range(2 + i % 4)]
+            payload, w, h = encode_video(frames, fps), None, None
+            dur = int(1000 * len(frames) / fps)
+            mime = "video/x-rawv"
+        rows.append((i, kind, bytearray(payload), mime, w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video → frame-sampling work list (one row per planned frame).
-
-    The decode itself is stubbed; the partition-friendly explode that a
-    real sampler would fan out over is real and tested.
-    """
+    """Video → frame-sampling work list (one row per planned frame)."""
     return (
         df.filter(F.col("kind") == "video")
         .withColumn(
@@ -140,3 +324,33 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ms", "payload")
     )
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Materialize sampled frames as RAW1 image payloads (real decode):
+    frame_sample_plan → per-row frame extraction at frame_ms."""
+    plan = frame_sample_plan(df, every_ms)
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_ms", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for p, ms in zip(pdf["payload"], pdf["frame_ms"]):
+                fps, frs = decode_video(bytes(p))
+                idx = min(int(ms * fps // 1000), len(frs) - 1)
+                frames.append(encode_image(frs[idx]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ms": pdf["frame_ms"],
+                    "frame": frames,
+                }
+            )
+
+    return plan.mapInPandas(run, out_schema)

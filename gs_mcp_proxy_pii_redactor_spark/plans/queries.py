@@ -1165,6 +1165,23 @@ ORDER BY c.user_id, c.event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q34 — multimodal decode + feature extraction (rows-only: the toy-RAW
+# codec isn't DuckDB-expressible; codec roundtrip/resize/frame-sampling
+# are pinned in tests/test_operators.py)
+
+
+def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, n=120)
+    return (
+        extract_features(media, mode="strict")
+        .select("media_id", "kind", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0"))
+        .orderBy("media_id")
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_email_redact": q02_email_redact,
@@ -1199,6 +1216,7 @@ QUERIES = {
     "q21_langid": q21_langid,
     "q22_minhash_verified_pairs": q22_minhash_verified_pairs,
     "q33_asof_join": q33_asof_join,
+    "q34_multimodal_features": q34_multimodal_features,
 }
 
 ORACLE_SQL = {

@@ -188,10 +188,72 @@ def test_multimodal_features(spark):
     assert plan.count() >= kinds
 
 
-def test_multimodal_real_decode_raises(spark):
-    media = synthesize_media(spark, n=3)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        extract_features(media, decode_stub=False).collect()
+def test_multimodal_real_decode_on_raw_payloads(spark):
+    """decode_stub=False (strict) now DECODES the toy RAW codec; only a
+    foreign (non-RAW) payload raises — the external-codec plug point."""
+    from gs_mcp_proxy_pii_redactor_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = synthesize_media(spark, n=6)
+    feats = {r.media_id: r for r in extract_features(media, decode_stub=False).collect()}
+    assert len(feats) == 6
+    # real image features: first channel mean of a gradient is ~mid-range
+    img_row = feats[0]
+    assert img_row.kind == "image" and 0.0 < img_row.features[0] < 1.0
+    # strict mode on an unknown payload still raises
+    foreign = spark.createDataFrame(
+        [(99, "image", bytearray(b"JPEGnotreally"), "image/jpeg", 8, 8, None)],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|external"):
+        extract_features(foreign, decode_stub=False).collect()
+    # auto mode hashes the foreign payload instead of raising
+    auto = extract_features(foreign, mode="auto").collect()
+    assert len(auto) == 1 and len(auto[0].features) == 32
+
+
+def test_multimodal_codec_roundtrip_and_resize():
+    from gs_mcp_proxy_pii_redactor_spark.operators.multimodal import (
+        _synth_audio,
+        _synth_image,
+        decode_audio,
+        decode_image,
+        decode_video,
+        encode_audio,
+        encode_image,
+        encode_video,
+        resize_nearest,
+    )
+
+    img = _synth_image(5)
+    assert (decode_image(encode_image(img)) == img).all()
+    rate, samples = _synth_audio(4)
+    r2, s2 = decode_audio(encode_audio(samples, rate))
+    assert r2 == rate and (s2 == samples).all()
+    frames = [_synth_image(1), _synth_image(2)]
+    fps, back = decode_video(encode_video(frames, 4))
+    assert fps == 4 and len(back) == 2 and (back[0] == frames[0]).all()
+    small = resize_nearest(img, 16, 12)
+    assert small.shape == (12, 16, 3)
+    # corners preserved by nearest-neighbor
+    assert (small[0, 0] == img[0, 0]).all()
+
+
+def test_multimodal_resize_and_frame_sampling_spark(spark):
+    from gs_mcp_proxy_pii_redactor_spark.operators.multimodal import (
+        decode_image,
+        resize_images,
+        sample_frames,
+    )
+
+    media = synthesize_media(spark, n=9)
+    resized = resize_images(media, 16, 16).collect()
+    assert resized and all(r.width == 16 for r in resized)
+    assert all(decode_image(bytes(r.payload)).shape == (16, 16, 3) for r in resized)
+    frames = sample_frames(media, every_ms=400).collect()
+    assert frames
+    for fr in frames[:3]:
+        img = decode_image(bytes(fr.frame))
+        assert img.ndim == 3 and img.dtype.name == "uint8"
 
 
 def test_embedding_near_dup_multi_table_recall(spark):
