@@ -127,6 +127,120 @@ def lsh_topk(
     )
 
 
+# -- IVF (inverted-file) ANN ---------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    sample_per_partition: int = 2000,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer — the IVF scale path's model.
+
+    Training aggregates to SMALL driver state (n_cells × dim floats) by
+    design — that's a model fit, not a data collect. Each Lloyd
+    iteration is one Spark pass: broadcast centroids → vectorized
+    assignment (one gemm per Arrow batch) → groupBy(cell) partial sums.
+    Init is a deterministic hash-ordered sample (seeded, data-dependent
+    but partition-order-independent). Vectors and centroids are
+    L2-normalized, so L2-argmin == cosine-argmax (matches the engine's
+    cosine semantics).
+    """
+    from pyspark.sql.types import IntegerType
+
+    ids = df.select(F.col(vec_col).alias("_v")).withColumn(
+        "_h", F.xxhash64(F.col("_v").cast("array<double>").cast("string"), F.lit(seed))
+    )
+    init_rows = ids.orderBy("_h").limit(n_cells).collect()
+    cents = np.asarray([r._v for r in init_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+
+    for _ in range(iters):
+        broadcast_c = cents  # captured by the UDF closure
+
+        @F.pandas_udf(IntegerType())
+        def assign(vecs: pd.Series) -> pd.Series:
+            mat = np.asarray(vecs.tolist(), dtype=np.float64)
+            if mat.ndim != 2 or mat.size == 0:
+                return pd.Series([0] * len(vecs), dtype="int32")
+            norms = np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+            sims = (mat / norms) @ broadcast_c.T
+            return pd.Series(sims.argmax(axis=1).astype("int32"))
+
+        # per-cell sums via posexplode: (cell, dim_idx) partial aggregation
+        # — map-side combinable, no vector collect
+        assigned = df.select(
+            assign(F.col(vec_col)).alias("_cell"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        sums = (
+            assigned.select("_cell", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_cell", "_i")
+            .agg(F.sum("_x").alias("_s"))
+            .groupBy("_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("_i", "_s"))).alias("_sv"))
+            .collect()
+        )
+        new_c = cents.copy()
+        for r in sums:
+            vec = np.array([p["_s"] for p in r._sv], dtype=np.float64)
+            n = np.linalg.norm(vec)
+            if n > 1e-12:
+                new_c[r._cell] = vec / n
+        cents = new_c
+    return cents
+
+
+def assign_ivf_cells(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append the coarse cell id (the partition key you'd bucket the
+    corpus by at 100 TB — probe queries then scan nprobe cells only)."""
+    from pyspark.sql.types import IntegerType
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray(vecs.tolist(), dtype=np.float64)
+        if mat.ndim != 2 or mat.size == 0:
+            return pd.Series([0] * len(vecs), dtype="int32")
+        norms = np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+        return pd.Series(((mat / norms) @ cents.T).argmax(axis=1).astype("int32"))
+
+    return df.withColumn("cell", assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    assigned_df: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank cells by query-centroid cosine, scan only the
+    ``nprobe`` best cells (partition-pruned at scale), rerank exact."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) + 1e-12)
+    cents = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(-(cents @ qn))[:nprobe]
+    probes = [int(c) for c in order]
+
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_sim(F.col(vec_col), qcol)
+    return (
+        assigned_df.filter(F.col("cell").isin(*probes))
+        .select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def make_multi_sign_lsh_udf(n_tables: int, n_bits: int, seed: int = 42):
     """Pandas UDF: embedding → array of ``n_tables`` signatures.
 

@@ -1182,6 +1182,27 @@ def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q35 — IVF ANN (rows-only: k-means training is iterative, not
+# SQL-expressible; planted-cluster recall is pinned in pytest)
+
+
+def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        assign_ivf_cells,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_cells=8, iters=3, seed=42)
+    assigned = assign_ivf_cells(emb, cents)
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+    return ivf_topk(assigned, cents, q, k=10, nprobe=3).orderBy(
+        F.desc("cos_sim"), "vec_id"
+    )
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_email_redact": q02_email_redact,
@@ -1217,6 +1238,7 @@ QUERIES = {
     "q22_minhash_verified_pairs": q22_minhash_verified_pairs,
     "q33_asof_join": q33_asof_join,
     "q34_multimodal_features": q34_multimodal_features,
+    "q35_ivf_topk": q35_ivf_topk,
 }
 
 ORACLE_SQL = {

@@ -413,3 +413,39 @@ def test_shingles_short_and_empty_texts(spark):
     assert rows[5] == []  # null text tokenizes empty
     # whole candidate pipeline survives degenerate rows
     assert minhash_candidate_pairs(df, "doc_id", "text").count() >= 0
+
+
+def test_ivf_topk_planted_clusters(spark):
+    """IVF coarse quantizer: planted clusters → high recall scanning only
+    nprobe cells; centroids deterministic across retrains."""
+    from gs_mcp_proxy_pii_redactor_spark.operators.similarity import (
+        assign_ivf_cells,
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(9)
+    centers = rng.randn(6, 24) * 3
+    rows = []
+    for i in range(360):
+        c = centers[i % 6]
+        v = c + rng.randn(24) * 0.15
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cents = train_ivf_centroids(df, n_cells=6, iters=4, seed=7)
+    assert cents.shape == (6, 24)
+    cents2 = train_ivf_centroids(df, n_cells=6, iters=4, seed=7)
+    assert np.allclose(cents, cents2)  # deterministic retrain
+
+    assigned = assign_ivf_cells(df, cents).cache()
+    # cells are balanced-ish: every planted cluster maps somewhere
+    sizes = {r.cell: r["count"] for r in assigned.groupBy("cell").count().collect()}
+    assert sum(sizes.values()) == 360
+
+    q = [float(x) for x in centers[0]]
+    exact = [r.vec_id for r in brute_force_topk(df, q, k=10).collect()]
+    got = [r.vec_id for r in ivf_topk(assigned, cents, q, k=10, nprobe=2).collect()]
+    assert len(set(got) & set(exact)) >= 9, (exact, got)
+    assigned.unpersist()
