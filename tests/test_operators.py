@@ -449,3 +449,16 @@ def test_ivf_topk_planted_clusters(spark):
     got = [r.vec_id for r in ivf_topk(assigned, cents, q, k=10, nprobe=2).collect()]
     assert len(set(got) & set(exact)) >= 9, (exact, got)
     assigned.unpersist()
+
+
+def test_minhash_signature_paths_agree_on_candidates(spark, dup_docs):
+    """JVM and Arrow signature paths use different hash families but must
+    find the same high-J candidate pairs."""
+    for jvm in (True, False):
+        got = {
+            (r.id_a, r.id_b)
+            for r in minhash_candidate_pairs(
+                dup_docs, "doc_id", "text", threshold=0.4, jvm_signatures=jvm
+            ).collect()
+        }
+        assert (0, 1) in got and (0, 5) in got, jvm
