@@ -42,12 +42,18 @@ class ToolFilterConfig:
     mode: str = "block"
     list: tuple[str, ...] = ()
 
+    def normalized_mode(self) -> str:
+        """Reference lowercases and defaults empty→block
+        (mcp-client-wrapper.ts:529: `(toolFilter.mode || 'block').toLowerCase()`)."""
+        return (self.mode or "block").lower()
+
     def keeps(self, tool_name: str) -> bool:
         if not self.list:
             return True
-        if self.mode == "allow":
+        mode = self.normalized_mode()
+        if mode == "allow":
             return tool_name in self.list
-        if self.mode == "block":
+        if mode == "block":
             return tool_name not in self.list
         return True  # unknown mode passes (reference :560-564)
 
@@ -156,6 +162,18 @@ def load_full_config(
 
     proxy.setdefault("type", "streamable-http")
     return {"mcpProxy": proxy, "mcpServers": servers, "groups": full.get("groups") or {}}
+
+
+def infer_transport_type(server_cfg: dict) -> str:
+    """mcp-client-wrapper.ts:58-66 — explicit transportType wins, else
+    command→stdio, url→sse, neither→error."""
+    if server_cfg.get("transportType"):
+        return server_cfg["transportType"]
+    if server_cfg.get("command"):
+        return "stdio"
+    if server_cfg.get("url"):
+        return "sse"
+    raise ValueError("Cannot infer transport type")
 
 
 def is_server_in_group(config: dict, active_group: str | None, server: str) -> bool:

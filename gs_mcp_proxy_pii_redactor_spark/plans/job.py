@@ -35,9 +35,10 @@ def apply_tool_filter(df: DataFrame, cfg: ScrubJobConfig) -> DataFrame:
     if not tf.list:
         return df
     listed = F.col("tool").isin(*tf.list)
-    if tf.mode == "allow":
+    mode = tf.normalized_mode()  # case-insensitive, empty→block (ts:529)
+    if mode == "allow":
         keep = F.col("tool").isNull() | listed
-    elif tf.mode == "block":
+    elif mode == "block":
         keep = F.col("tool").isNull() | ~listed
     else:  # unknown mode passes everything (reference :560-564)
         return df

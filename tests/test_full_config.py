@@ -182,3 +182,13 @@ def test_empty_auth_tokens_not_inherited():
     # — an empty (falsy) parent list does NOT inherit
     out = _inherit_case({"authTokens": []}, None)
     assert "authTokens" not in out
+
+
+def test_infer_transport_type():
+    from gs_mcp_proxy_pii_redactor_spark.plans.config import infer_transport_type
+
+    assert infer_transport_type({"command": "npx foo"}) == "stdio"
+    assert infer_transport_type({"url": "http://x"}) == "sse"
+    assert infer_transport_type({"transportType": "streamable-http", "url": "x"}) == "streamable-http"
+    with pytest.raises(ValueError, match="Cannot infer transport type"):
+        infer_transport_type({})

@@ -132,6 +132,25 @@ def test_tool_filter_modes(spark, transcripts):
     assert n_allow == n_all - (n_tools - n_tool0)
     assert n_block == n_all - n_tool0
     assert apply_tool_filter(transcripts, base).count() == n_all
+    # reference parity (mcp-client-wrapper.ts:529 + spec): mode is
+    # case-insensitive; empty mode defaults to block; unknown passes
+    upper = ScrubJobConfig(
+        dictionary=("x",), enabled=False,
+        tool_filter=ToolFilterConfig(mode="BLOCK", list=("tool_0",)),
+    )
+    empty = ScrubJobConfig(
+        dictionary=("x",), enabled=False,
+        tool_filter=ToolFilterConfig(mode="", list=("tool_0",)),
+    )
+    unknown = ScrubJobConfig(
+        dictionary=("x",), enabled=False,
+        tool_filter=ToolFilterConfig(mode="unknown-mode", list=("tool_0",)),
+    )
+    assert apply_tool_filter(transcripts, upper).count() == n_block
+    assert apply_tool_filter(transcripts, empty).count() == n_block
+    assert apply_tool_filter(transcripts, unknown).count() == n_all
+    assert upper.tool_filter.keeps("tool_0") is False
+    assert unknown.tool_filter.keeps("tool_0") is True
 
 
 def test_disabled_gate_identity(spark, transcripts):
