@@ -235,6 +235,14 @@ def run_bench(spark, sf_dir: str, turns_per_doc: int = TURNS_PER_DOC):
     timed("multimodal_features", lambda: extract_features(media)
           .agg(F.sum("n_bytes")).collect())
 
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import (
+        q31_embedding_neardup_lsh,
+        q33_asof_join,
+    )
+
+    timed("q33_asof_join", lambda: q33_asof_join(spark, sf_dir).count())
+    timed("q31_neardup_lsh", lambda: q31_embedding_neardup_lsh(spark, sf_dir).count())
+
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
