@@ -1031,25 +1031,131 @@ FROM t ORDER BY doc_id
 """
 
 
-def q21_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID over documents (rows-only check).
+# q21 injects deterministic multilingual slices so every scorer branch
+# (CJK/Cyrillic script ratios, diacritic weights, stopword scoring,
+# empty→und) is exercised AND oracle-checked — the testdata's own `lang`
+# labels are synthetic metadata over English-ish bodies.
+_Q21_SNIPPETS = (
+    "der die das und ist nicht mit ein eine zu den von auch werden aus",
+    "le chat est très beau à côté de la fenêtre avec une œuvre pour nous",
+    "机器学习模型训练数据处理系统性能优化方法研究分析结果",
+    "машинное обучение и обработка данных система производительность анализ",
+    "el niño está en la casa con su señora y no quiere más café porque sí",
+    "",
+)
 
-    NOTE: the testdata's ``lang`` column is synthetic metadata — every
-    document body is the same English-ish tech vocabulary regardless of
-    its label (verified by inspection), so agreement with that column
-    is not a meaningful accuracy metric. Real-language accuracy is
-    pinned in tests/test_functions.py and tests/test_udfs_spark.py with
-    genuine en/de/fr/es/zh/ru sentences.
-    """
+
+def q21_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID over documents — FULL DuckDB oracle: the SQL
+    re-implements the deterministic scorer (script-ratio branches +
+    embedded stopword table + diacritic weights + tie-break), see
+    _q21_oracle_sql(). Real-language accuracy additionally pinned in
+    tests/test_functions.py."""
     from ..functions.udfs import make_langid_udf
 
     docs = read_table(spark, sf_dir, "documents")
+    synth = F.col("text")
+    sel = F.pmod(F.col("doc_id"), F.lit(13))
+    expr = F.substring("text", 1, 200)
+    for i, snip in enumerate(_Q21_SNIPPETS):
+        expr = F.when(sel == i, F.lit(snip)).otherwise(expr)
     langid = make_langid_udf()
     return (
-        docs.withColumn("_l", langid("text"))
-        .select("doc_id", F.col("_l.lang").alias("lang_pred"))
+        docs.withColumn("_l", langid(expr))
+        .select(
+            "doc_id",
+            F.col("_l.lang").alias("lang_pred"),
+            F.col("_l.lang_conf").alias("lang_conf"),
+        )
         .orderBy("doc_id")
     )
+
+
+def _q21_oracle_sql() -> str:
+    """DuckDB replica of functions/langid.detect_language over the same
+    injected slices (stopword lists and diacritic weights embedded)."""
+    from ..functions.langid import _DIACRITICS, _STOPWORDS
+
+    sw_rows = ", ".join(
+        f"('{w}', '{lang}')"
+        for lang, words in _STOPWORDS.items()
+        for w in sorted(words)
+    )
+    dia_rows = ", ".join(
+        f"('{c}', '{lang}')" for lang, chars in _DIACRITICS.items() for c in chars
+    )
+    synth_cases = "\n".join(
+        f"    WHEN {i} THEN '{snip}'" for i, snip in enumerate(_Q21_SNIPPETS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, CASE doc_id % 13
+{synth_cases}
+    ELSE substr(text, 1, 200) END AS s
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, substr(s, 1, 1000) AS sample,
+         regexp_matches(substr(s, 1, 1000), '^[\\x00-\\x7F]*$') AS is_ascii,
+         len(regexp_extract_all(substr(s, 1, 1000), '\\S')) AS nonspace,
+         len(regexp_extract_all(substr(s, 1, 1000),
+             '[\\x{{4e00}}-\\x{{9fff}}\\x{{3040}}-\\x{{30ff}}\\x{{f900}}-\\x{{faff}}]')) AS cjk,
+         len(regexp_extract_all(substr(s, 1, 1000), '[\\x{{0400}}-\\x{{04ff}}]')) AS cyr,
+         lower(substr(s, 1, 1000)) AS lw
+  FROM t
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lw, '[a-zà-öø-ÿœ]+')) AS tok
+  FROM flags
+),
+ntok AS (SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id),
+sw(tok, lang) AS (VALUES {sw_rows}),
+dia(ch, lang) AS (VALUES {dia_rows}),
+tok_scores AS (
+  SELECT t.doc_id, s.lang, CAST(COUNT(*) AS DOUBLE) AS sc
+  FROM toks t JOIN sw s ON t.tok = s.tok GROUP BY t.doc_id, s.lang
+),
+dia_scores AS (
+  SELECT f.doc_id, d.lang,
+         0.3 * (len(f.lw) - len(replace(f.lw, d.ch, ''))) AS sc
+  FROM flags f JOIN dia d ON f.lw LIKE '%' || d.ch || '%'
+  WHERE NOT f.is_ascii
+),
+scores AS (
+  SELECT doc_id, lang, SUM(sc) AS sc
+  FROM (SELECT * FROM tok_scores UNION ALL SELECT * FROM dia_scores)
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, sc,
+         SUM(sc) OVER (PARTITION BY doc_id) AS total,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT f.doc_id,
+  CASE
+    WHEN f.sample IS NULL OR f.sample = '' THEN 'und'
+    WHEN NOT f.is_ascii AND f.nonspace = 0 THEN 'und'
+    WHEN NOT f.is_ascii AND CAST(f.cjk AS DOUBLE) / f.nonspace >= 0.25 THEN 'zh'
+    WHEN NOT f.is_ascii AND CAST(f.cyr AS DOUBLE) / f.nonspace >= 0.25 THEN 'ru'
+    WHEN b.lang IS NULL OR COALESCE(n.n_tokens, 0) = 0 OR b.total = 0 THEN 'und'
+    ELSE b.lang
+  END AS lang_pred,
+  CASE
+    WHEN f.sample IS NULL OR f.sample = '' THEN 0.0
+    WHEN NOT f.is_ascii AND f.nonspace = 0 THEN 0.0
+    WHEN NOT f.is_ascii AND CAST(f.cjk AS DOUBLE) / f.nonspace >= 0.25
+      THEN least(1.0, CAST(f.cjk AS DOUBLE) / f.nonspace + 0.5)
+    WHEN NOT f.is_ascii AND CAST(f.cyr AS DOUBLE) / f.nonspace >= 0.25
+      THEN least(1.0, CAST(f.cyr AS DOUBLE) / f.nonspace + 0.5)
+    WHEN b.lang IS NULL OR COALESCE(n.n_tokens, 0) = 0 OR b.total = 0 THEN 0.0
+    ELSE round(least(1.0, b.sc / (b.total + 1e-9)), 4)
+  END AS lang_conf
+FROM flags f
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+LEFT JOIN ntok n USING (doc_id)
+ORDER BY f.doc_id
+"""
 
 
 def q22_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,11 +1376,11 @@ ORACLE_SQL = {
     "q29_median_value": _Q29_SQL,
     "q30_embedding_neardup_exact": _Q30_SQL,
     "q20_kernel_scrub": _Q20_SQL,
+    "q21_langid": _q21_oracle_sql(),
     "q22_minhash_verified_pairs": _Q22_SQL,
     "q33_asof_join": _Q33_SQL,
     "q31_embedding_neardup_lsh": _q31_oracle_sql(),
     "q32_toxicity_ratio": _Q32_SQL,
-    # q21 langid stays rows-only: the heuristic scorer isn't
-    # SQL-expressible and the testdata lang labels are synthetic
-    # (see q21 docstring); accuracy is pinned in pytest instead.
+    # q34 (toy-codec decode) and q35 (iterative k-means) stay rows-only:
+    # genuinely not SQL-expressible; both are pinned in pytest instead.
 }
