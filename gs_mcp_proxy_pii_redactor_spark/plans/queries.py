@@ -1309,6 +1309,91 @@ def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q36 — char-bigram perplexity (FULL oracle: the DuckDB SQL rebuilds the
+# smoothed bigram LM from the embedded sparse counts and scores the same
+# slices; gibberish injected so the signal separates)
+
+
+def q36_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType
+
+    from ..functions.perplexity import batch_char_perplexity
+
+    docs = read_table(spark, sf_dir, "documents")
+    synth = F.when(
+        F.pmod(F.col("doc_id"), F.lit(9)) == 0,
+        F.lit("zzqx qxzj vkw zzz 999 ### qqq xjz"),
+    ).otherwise(F.substring("text", 1, 200))
+
+    @F.pandas_udf(DoubleType())
+    def ppl(texts):
+        import pandas as _pd
+
+        return _pd.Series(batch_char_perplexity(texts.tolist()))
+
+    return docs.select(
+        "doc_id", F.round(ppl(synth), 6).alias("ppl")
+    ).orderBy("doc_id")
+
+
+def _q36_oracle_sql() -> str:
+    """DuckDB replica of functions/perplexity.char_perplexity: sparse
+    bigram counts + add-k smoothing embedded; per-pair ln lookup; ppl =
+    exp(-avg(ln p)) rounded to 6 (summation-order float noise < 1e-12)."""
+    import numpy as np
+
+    from ..functions.perplexity import _ADD_K, _SEED_CORPUS, _VOCAB
+
+    data = _SEED_CORPUS.lower().encode("ascii", "replace")
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    arr = np.where(arr < _VOCAB, arr, _VOCAB - 1)
+    counts: dict[tuple[int, int], float] = {}
+    for p, c in zip(arr[:-1], arr[1:]):
+        counts[(int(p), int(c))] = counts.get((int(p), int(c)), 0.0) + 1.0
+    rowsums: dict[int, float] = {}
+    for (p, _c), n in counts.items():
+        rowsums[p] = rowsums.get(p, _VOCAB * _ADD_K) + n
+    cnt_rows = ", ".join(
+        f"({p}, {c}, {n + _ADD_K!r})" for (p, c), n in sorted(counts.items())
+    )
+    rs_rows = ", ".join(f"({p}, {s!r})" for p, s in sorted(rowsums.items()))
+    default_rs = repr(_VOCAB * _ADD_K)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         lower(CASE WHEN doc_id % 9 = 0 THEN 'zzqx qxzj vkw zzz 999 ### qqq xjz'
+               ELSE substr(text, 1, 200) END) AS lw
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, pr[1] AS prev, pr[2] AS cur FROM (
+    SELECT doc_id, unnest([
+      [CASE WHEN unicode(substr(lw, i, 1)) < 128
+            THEN unicode(substr(lw, i, 1)) ELSE 63 END,
+       CASE WHEN unicode(substr(lw, i + 1, 1)) < 128
+            THEN unicode(substr(lw, i + 1, 1)) ELSE 63 END]
+      FOR i IN range(1, len(lw))
+    ]) AS pr
+    FROM t WHERE len(lw) >= 2
+  )
+),
+cnts(prev, cur, n) AS (VALUES {cnt_rows}),
+rs(prev, total) AS (VALUES {rs_rows}),
+scored AS (
+  SELECT p.doc_id,
+         ln(COALESCE(c.n, {_ADD_K!r}) / COALESCE(r.total, {default_rs})) AS lp
+  FROM pairs p
+  LEFT JOIN cnts c ON p.prev = c.prev AND p.cur = c.cur
+  LEFT JOIN rs r ON p.prev = r.prev
+),
+ppl AS (SELECT doc_id, exp(-avg(lp)) AS v FROM scored GROUP BY doc_id)
+SELECT t.doc_id, round(COALESCE(ppl.v, 0.0), 6) AS ppl
+FROM t LEFT JOIN ppl USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_email_redact": q02_email_redact,
@@ -1345,6 +1430,7 @@ QUERIES = {
     "q33_asof_join": q33_asof_join,
     "q34_multimodal_features": q34_multimodal_features,
     "q35_ivf_topk": q35_ivf_topk,
+    "q36_perplexity": q36_perplexity,
 }
 
 ORACLE_SQL = {
@@ -1379,6 +1465,7 @@ ORACLE_SQL = {
     "q21_langid": _q21_oracle_sql(),
     "q22_minhash_verified_pairs": _Q22_SQL,
     "q33_asof_join": _Q33_SQL,
+    "q36_perplexity": _q36_oracle_sql(),
     "q31_embedding_neardup_lsh": _q31_oracle_sql(),
     "q32_toxicity_ratio": _Q32_SQL,
     # q34 (toy-codec decode) and q35 (iterative k-means) stay rows-only:
