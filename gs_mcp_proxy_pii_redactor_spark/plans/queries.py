@@ -15,7 +15,7 @@ parquet tables. Conventions for engine-deterministic results:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import read_table
@@ -1394,6 +1394,96 @@ ORDER BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q37 — TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
+# Catalyst broadcasts the filtered customer side; the top-10 is
+# TakeOrderedAndProject, not a global sort.
+
+def _rev() -> Column:
+    return (
+        F.col("l_extendedprice").cast("decimal(20,2)")
+        * (F.lit(1).cast("decimal(20,2)") - F.col("l_discount").cast("decimal(20,2)"))
+    ).cast("decimal(38,6)")
+
+
+def q37_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-06-01"
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-06-01"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q37_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,2)) *
+            (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))
+            AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey, orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q38 — TPC-H Q5 shape: 6-way join chain with two broadcast dim levels
+# (region→nation) and local-supplier correlation, grouped revenue.
+
+
+def q38_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_Q38_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,2)) *
+            (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))
+            AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_email_redact": q02_email_redact,
@@ -1431,6 +1521,8 @@ QUERIES = {
     "q34_multimodal_features": q34_multimodal_features,
     "q35_ivf_topk": q35_ivf_topk,
     "q36_perplexity": q36_perplexity,
+    "q37_shipping_priority": q37_shipping_priority,
+    "q38_local_supplier_volume": q38_local_supplier_volume,
 }
 
 ORACLE_SQL = {
@@ -1466,6 +1558,8 @@ ORACLE_SQL = {
     "q22_minhash_verified_pairs": _Q22_SQL,
     "q33_asof_join": _Q33_SQL,
     "q36_perplexity": _q36_oracle_sql(),
+    "q37_shipping_priority": _Q37_SQL,
+    "q38_local_supplier_volume": _Q38_SQL,
     "q31_embedding_neardup_lsh": _q31_oracle_sql(),
     "q32_toxicity_ratio": _Q32_SQL,
     # q34 (toy-codec decode) and q35 (iterative k-means) stay rows-only:
