@@ -112,3 +112,15 @@ def test_minhash_pair_shuffle_excludes_signatures(spark, sf_dir):
     pair_joins = [ln for ln in joins if "bucket" in ln]
     assert pair_joins, plan[:2000]
     assert all("_sig" not in ln for ln in pair_joins), pair_joins
+
+
+def test_tpch_q3_shape_broadcast_and_topk(spark, sf_dir):
+    """q37: the filtered customer dim must broadcast and the top-10 must
+    be TakeOrderedAndProject (no global sort of join output)."""
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import (
+        q37_shipping_priority,
+    )
+
+    plan = _executed_plan(q37_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
