@@ -56,19 +56,24 @@ def asof_join(
     left_cols = left.columns
     # side=1 marks left rows; at equal `on`, right (0) sorts first so the
     # backward window INCLUDES the tied right row (merge_asof semantics).
+    # The matched right row travels as ONE struct so the picked timestamp
+    # and payload always come from the SAME row — picking columns
+    # independently with last(ignorenulls) would stitch a NULL-valued
+    # right row's timestamp onto an older row's payload.
     l_tagged = left.withColumn("_side", F.lit(1))
+    payload = F.struct(
+        F.col(on).alias("_t"), *[F.col(v).alias(v) for v in value_cols]
+    )
     r_tagged = right.select(
         *by,
         F.col(on).alias(on),
         F.lit(0).alias("_side"),
-        F.col(on).alias(f"{on}{suffix}"),
-        *[F.col(v) for v in value_cols],
+        payload.alias("_r"),
     )
     for c in left_cols:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None))
-    for c in (f"{on}{suffix}", *value_cols):
-        l_tagged = l_tagged.withColumn(c, F.lit(None))
+    l_tagged = l_tagged.withColumn("_r", F.lit(None))
     unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
 
     if direction == "backward":
@@ -86,17 +91,19 @@ def asof_join(
         )
         pick = F.first
 
-    matched = unioned.select(
-        *left_cols,
-        "_side",
-        pick(F.col(f"{on}{suffix}"), ignorenulls=True).over(w).alias(
-            f"{on}{suffix}"
-        ),
-        *[
-            pick(F.col(v), ignorenulls=True).over(w).alias(f"{v}{suffix}")
-            for v in value_cols
-        ],
-    ).filter(F.col("_side") == 1).drop("_side")
+    matched = (
+        unioned.select(
+            *left_cols,
+            "_side",
+            pick(F.col("_r"), ignorenulls=True).over(w).alias("_m"),
+        )
+        .filter(F.col("_side") == 1)
+        .select(
+            *left_cols,
+            F.col("_m._t").alias(f"{on}{suffix}"),
+            *[F.col(f"_m.{v}").alias(f"{v}{suffix}") for v in value_cols],
+        )
+    )
 
     if tolerance is not None:
         tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)

@@ -19,8 +19,6 @@ are boilerplate/near-empty docs better handled by exact dedup).
 
 from __future__ import annotations
 
-import weakref
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -183,10 +181,15 @@ def minhash_candidate_pairs(
     sig = hashed.select("_id", sig_col.alias("_sig"))
     # Signatures are read 4× downstream (bands, sizes, est-join ×2) —
     # persist; at production scale this is the materialized signature
-    # table you'd write alongside the corpus. Lifetime is tied to the
-    # returned DataFrame below (weakref.finalize → unpersist), so long
-    # sessions don't accumulate dead cache entries; recomputation after
-    # unpersist is still correct, just slower.
+    # table you'd write alongside the corpus. Cache lifetime is
+    # CALLER-owned: the returned DataFrame carries the persisted frame as
+    # `.minhash_sig` — call unpersist_minhash_cache(result) (or
+    # result.minhash_sig.unpersist()) after the consuming action in long
+    # sessions. (A weakref-finalize auto-unpersist was tried and reverted:
+    # CPython collects the wrapper the moment a caller derives a child
+    # frame, dropping the cache before any action runs. Unreleased
+    # entries are MEMORY_AND_DISK and LRU-evicted under pressure, so the
+    # worst case is bounded.)
     sig = sig.persist()
 
     band_entries = sig.select(
@@ -253,15 +256,20 @@ def minhash_candidate_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
-    weakref.finalize(result, _safe_unpersist, sig)
+    result.minhash_sig = sig  # caller-owned cache handle (see above)
     return result
 
 
-def _safe_unpersist(df: DataFrame) -> None:
-    try:
-        df.unpersist()
-    except Exception:  # session already stopped — nothing to free
-        pass
+def unpersist_minhash_cache(df: DataFrame) -> None:
+    """Release the signature cache attached by minhash_candidate_pairs.
+    Safe to call on any frame (no-op without the handle) and after the
+    session stopped."""
+    sig = getattr(df, "minhash_sig", None)
+    if sig is not None:
+        try:
+            sig.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
 
 
 def minhash_dedup(

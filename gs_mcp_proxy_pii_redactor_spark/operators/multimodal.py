@@ -190,6 +190,9 @@ def _decode_features(payload: bytes, mode: str) -> np.ndarray:
             _, frames = decode_video(bytes(payload))
             if frames:
                 return np.mean([_image_features(fr) for fr in frames], axis=0)
+            # a zero-frame video is a VALID RAW payload: content features
+            # are all-zero, not a hash stub / codec error
+            return np.zeros(FEATURE_DIM, dtype=np.float32)
     if mode == "strict":
         raise NotImplementedError(
             "real media decode for non-RAW payloads requires an external "

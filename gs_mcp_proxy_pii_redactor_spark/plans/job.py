@@ -161,7 +161,9 @@ def build_pipeline(
     return df
 
 
-def audit_frame(result: DataFrame, operation: str = "tool_call") -> DataFrame:
+def audit_frame(
+    result: DataFrame, operation: str = "tool_call", text_col: str = "text"
+) -> DataFrame:
     """Audit side-output — analogue of the reference's pre/post JSON file
     pair per operation (audit-logger.ts:28-56), as a table: one row per
     CHANGED turn with pre/post text, which stages hit, the reference's
@@ -183,23 +185,26 @@ def audit_frame(result: DataFrame, operation: str = "tool_call") -> DataFrame:
             else _json.dumps(enhance_for_readability(t), indent=2)
         )
 
-    changed = result.filter(F.col("text") != F.col("text_scrubbed"))
+    changed = result.filter(F.col(text_col) != F.col("text_scrubbed"))
     changed = changed.select(
         "conv_id",
         "turn_idx",
-        F.col("text").alias("text_pre"),
+        F.col(text_col).alias("text_pre"),
         F.col("text_scrubbed").alias("text_post"),
         F.expr("uuid()").alias("op_id"),
         F.lit(operation).alias("operation"),
         F.current_timestamp().alias("event_time"),
-        extended_pii_hits("text").alias("extended_rule_hits"),
-        readable(F.col("text")).alias("pre_readable"),
+        extended_pii_hits(text_col).alias("extended_rule_hits"),
+        readable(F.col(text_col)).alias("pre_readable"),
         readable(F.col("text_scrubbed")).alias("post_readable"),
     )
     # ISO instant with [:.] → '-' (audit-logger.ts:39); UTC like
-    # Date.toISOString. date_format avoids a per-row Python round trip.
+    # Date.toISOString regardless of session timezone: shift the instant
+    # from the session zone to UTC wall-clock before formatting
+    # (date_format always renders in spark.sql.session.timeZone, and
+    # to_utc_timestamp(ts, 'UTC') would be an identity no-op).
     ts = F.date_format(
-        F.to_utc_timestamp(F.col("event_time"), F.lit("UTC")),
+        F.to_utc_timestamp(F.col("event_time"), F.expr("current_timezone()")),
         "yyyy-MM-dd'T'HH-mm-ss-SSS'Z'",
     )
     name = lambda suffix: F.concat_ws(  # noqa: E731
@@ -213,7 +218,7 @@ def audit_frame(result: DataFrame, operation: str = "tool_call") -> DataFrame:
     )
 
 
-def scrub_metrics(result: DataFrame) -> DataFrame:
+def scrub_metrics(result: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-(lang, role) scrub/filter counters — branch B of the plan.
 
     Hash aggregation gives map-side partial aggregation for free; the
@@ -222,7 +227,7 @@ def scrub_metrics(result: DataFrame) -> DataFrame:
     return result.groupBy("lang", "role").agg(
         F.count("*").alias("n_turns"),
         F.sum(F.col("keep").cast("long")).alias("n_keep"),
-        F.sum((F.col("text") != F.col("text_scrubbed")).cast("long")).alias(
+        F.sum((F.col(text_col) != F.col("text_scrubbed")).cast("long")).alias(
             "n_redacted"
         ),
         F.sum("n_chars").alias("total_chars"),
@@ -281,6 +286,7 @@ def run_job(
     """
     from pyspark.sql import Observation
 
+    primary = cfg.text_columns[0] if cfg.text_columns else "text"
     result = build_pipeline(spark, input_df, cfg)
     obs = Observation("scrub_job")
     result = result.observe(
@@ -288,12 +294,14 @@ def run_job(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("keep").cast("long")).alias("n_keep"),
         F.sum(
-            (F.col("text") != F.col("text_scrubbed")).cast("long")
+            (F.col(primary) != F.col("text_scrubbed")).cast("long")
         ).alias("n_redacted"),
     )
     result.write.mode("overwrite").parquet(output_path)
     counters = dict(obs.get)
     if metrics_path:
         out = spark.read.parquet(output_path)
-        scrub_metrics(out).write.mode("overwrite").parquet(metrics_path)
+        scrub_metrics(out, text_col=primary).write.mode("overwrite").parquet(
+            metrics_path
+        )
     return counters

@@ -1054,7 +1054,6 @@ def q21_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udfs import make_langid_udf
 
     docs = read_table(spark, sf_dir, "documents")
-    synth = F.col("text")
     sel = F.pmod(F.col("doc_id"), F.lit(13))
     expr = F.substring("text", 1, 200)
     for i, snip in enumerate(_Q21_SNIPPETS):

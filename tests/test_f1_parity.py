@@ -110,7 +110,7 @@ def test_f1_parity_with_toxicity_and_lang_gates(spark, sf_dir):
 
     qcfg = QualityConfig(
         max_toxicity_ratio=0.08,
-        allowed_langs=("en", "unknown"),
+        allowed_langs=("en", "und"),
         min_lang_conf=0.05,
     )
     cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY), quality=qcfg)

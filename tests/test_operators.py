@@ -462,3 +462,43 @@ def test_minhash_signature_paths_agree_on_candidates(spark, dup_docs):
             ).collect()
         }
         assert (0, 1) in got and (0, 5) in got, jvm
+
+
+def test_asof_join_null_payload_not_stitched(spark):
+    """Regression (round-2 review): a NULL-valued right row must win the
+    match as a WHOLE row — the timestamp and payload may never come from
+    different right rows, and tolerance applies to the matched row."""
+    from gs_mcp_proxy_pii_redactor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 210, 0)], "k int, t int, lid int")
+    right = spark.createDataFrame(
+        [(1, 100, 5.0), (1, 200, None)], "k int, t int, v double"
+    )
+    r = asof_join(left, right, by="k", on="t", value_cols=["v"]).first()
+    assert r.t_asof == 200 and r.v_asof is None  # matched row, its NULL value
+    r2 = asof_join(
+        left, right, by="k", on="t", value_cols=["v"], tolerance=50
+    ).first()
+    assert r2.t_asof == 200 and r2.v_asof is None  # within tolerance
+    r3 = asof_join(
+        left, right, by="k", on="t", value_cols=["v"], tolerance=5
+    ).first()
+    assert r3.t_asof is None and r3.v_asof is None  # matched row too old
+
+
+def test_multimodal_zero_frame_video(spark):
+    """Regression: an empty RAWV video is a valid payload — strict mode
+    must return zero features, not raise or hash-stub."""
+    from gs_mcp_proxy_pii_redactor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_video,
+        extract_features,
+    )
+
+    empty_vid = spark.createDataFrame(
+        [(7, "video", bytearray(encode_video([], 4)), "video/x-rawv",
+          None, None, 0)],
+        MEDIA_SCHEMA,
+    )
+    r = extract_features(empty_vid, mode="strict").first()
+    assert r.features == [0.0] * 32

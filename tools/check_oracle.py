@@ -58,24 +58,26 @@ def _spark_type_class(dt: str) -> str:
     return "str" if dt == "string" else dt
 
 
-def _arrow_type_class(t) -> str:
-    import pyarrow.types as pat
-
-    if pat.is_integer(t):
-        return "int"
-    if pat.is_floating(t):
-        return "float"
-    if pat.is_decimal(t):
-        return "decimal"
-    if pat.is_boolean(t):
-        return "bool"
-    if pat.is_list(t) or pat.is_large_list(t) or pat.is_fixed_size_list(t):
+def _duck_type_class(dt: str) -> str:
+    dt = dt.upper()
+    if dt.endswith("[]"):
         return "list"
-    if pat.is_timestamp(t):
+    if dt in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "INT", "UTINYINT",
+              "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if dt in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    # HUGEINT is int128 — arrow/driver side treats it as decimal128,
+    # which is exactly the mismatch class this check exists to catch
+    if dt == "HUGEINT" or dt.startswith("DECIMAL"):
+        return "decimal"
+    if dt == "BOOLEAN":
+        return "bool"
+    if dt.startswith("TIMESTAMP"):
         return "ts"
-    if pat.is_date(t):
+    if dt == "DATE":
         return "date"
-    return "str" if pat.is_string(t) or pat.is_large_string(t) else str(t)
+    return "str" if dt == "VARCHAR" else dt
 
 
 def table_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -131,8 +133,10 @@ def main() -> int:
             continue
         try:
             ddf = con.sql(oracles[name])
-            dcols = [d[0] for d in ddf.description]
-            darrow = con.sql(oracles[name]).arrow()
+            dcols = list(ddf.columns)
+            # .types reads the bound plan WITHOUT executing (fetchall
+            # below is the single execution — some oracles are O(n²))
+            dtypes = [str(t) for t in ddf.types]
             drows = ddf.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -148,12 +152,12 @@ def main() -> int:
             # (DuckDB HUGEINT vs Spark BIGINT hash differently even when the
             # values print identically) — catch that class of bug locally.
             stypes = {c: _spark_type_class(t) for c, t in sdf.dtypes}
-            for f in darrow.schema:
-                dc = _arrow_type_class(f.type)
-                sc = stypes.get(f.name)
+            for col, dt in zip(dcols, dtypes):
+                dc = _duck_type_class(dt)
+                sc = stypes.get(col)
                 if sc is not None and sc != dc:
                     problems.append(
-                        f"type-class mismatch on {f.name}: spark={sc} duckdb={dc}"
+                        f"type-class mismatch on {col}: spark={sc} duckdb={dc}"
                     )
             h1 = table_hash(scols, srows)
             h2 = table_hash(dcols, drows)
