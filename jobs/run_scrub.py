@@ -123,8 +123,11 @@ def main(argv=None) -> int:
         from gs_mcp_proxy_pii_redactor_spark.plans import audit_frame, build_pipeline
 
         result = spark.read.parquet(args.output)
-        if "text" in result.columns and "text_scrubbed" in result.columns:
-            audit_frame(result).write.mode("overwrite").parquet(args.audit)
+        primary = cfg.text_columns[0] if cfg.text_columns else "text"
+        if primary in result.columns and "text_scrubbed" in result.columns:
+            audit_frame(result, text_col=primary).write.mode(
+                "overwrite"
+            ).parquet(args.audit)
             print(f"audit written: {args.audit}")
 
     spark.stop()

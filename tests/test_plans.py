@@ -124,3 +124,60 @@ def test_tpch_q3_shape_broadcast_and_topk(spark, sf_dir):
     plan = _executed_plan(q37_shipping_priority(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_conv_stats_two_phase_salted_agg(spark, sf_dir):
+    """conv_stats: partial agg on (conv_id, _salt) then final on conv_id
+    — three HashAggregate pairs would be wrong; the salt key must appear
+    in the FIRST grouping only (PLANS.md J2)."""
+    from gs_mcp_proxy_pii_redactor_spark.plans import (
+        ScrubJobConfig,
+        build_pipeline,
+        conv_stats,
+    )
+
+    transcripts = synthesize_transcripts(spark, sf_dir, turns_per_doc=2)
+    cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
+    out = conv_stats(build_pipeline(spark, transcripts, cfg))
+    plan = _executed_plan(out)
+    # two keyed exchanges: (conv_id, _salt) partial → conv_id final
+    assert "_salt" in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 2, exchanges
+    assert any("_salt" in ln for ln in exchanges)
+    assert any("_salt" not in ln and "conv_id" in ln for ln in exchanges)
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A partitioned fact joined to a filtered dim must plan a
+    dynamicpruning subquery on the partition column — the mechanism that
+    keeps a 100 TB partitioned table from full-scanning when the dim
+    filter selects a few partitions."""
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import read_table
+
+    fact_path = str(tmp_path / "orders_by_status")
+    orders = read_table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    # DPP preconditions: a FILTER on the dim side (the pruning subquery's
+    # source) and the partitioned fact as the probe side of a broadcast
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "filled"), ("P", "pending")],
+        "o_orderstatus string, label string",
+    ).filter(F.col("label") == "open")
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false",
+    )
+    try:
+        joined = (
+            fact.join(F.broadcast(dim), "o_orderstatus")
+            .groupBy("label")
+            .agg(F.sum("o_totalprice").alias("s"))
+        )
+        plan = _executed_plan(joined)
+        assert "dynamicpruning" in plan.lower(), plan[:2500]
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+        )
