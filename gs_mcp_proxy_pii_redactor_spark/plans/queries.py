@@ -1483,6 +1483,20 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC
 """
 
 
+# ---------------------------------------------------------------------------
+# Q39 — SimHash near-dup pairs (rows-only: signatures are Spark xxhash64
+# bit votes, not DuckDB-replicable; semantics pinned in test_operators).
+
+
+def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=6
+    ).orderBy("id_a", "id_b")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_email_redact": q02_email_redact,
@@ -1522,6 +1536,7 @@ QUERIES = {
     "q36_perplexity": q36_perplexity,
     "q37_shipping_priority": q37_shipping_priority,
     "q38_local_supplier_volume": q38_local_supplier_volume,
+    "q39_simhash_pairs": q39_simhash_pairs,
 }
 
 ORACLE_SQL = {
