@@ -90,16 +90,16 @@ def main(argv=None) -> int:
         print("WARNING: empty dictionary — dictionary stage disabled "
               "(reference gate semantics)", file=sys.stderr)
 
-    cfg = ScrubJobConfig(
-        enabled=cfg.enabled,
-        text_columns=cfg.text_columns,
+    # dataclasses.replace keeps every other loaded field intact — the
+    # previous explicit reconstruction silently dropped detect_lang /
+    # score_ppl back to their defaults.
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
         dictionary=tuple(terms),
         verbose_audit=bool(args.audit) or cfg.verbose_audit,
         extended_pii=cfg.extended_pii and not args.disable_extended_pii,
-        quality=cfg.quality,
-        tool_filter=cfg.tool_filter,
-        repartition=cfg.repartition,
-        skew_salt=cfg.skew_salt,
     )
 
     input_df = read_transcripts(spark, args.input, fmt=args.format)

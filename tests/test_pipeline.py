@@ -301,3 +301,39 @@ def test_text_columns_with_fused_analyze(spark):
     assert "[REDACTED]" in r.text_scrubbed and "john doe" not in r.text_scrubbed
     assert r.notes_scrubbed == "contact [REDACTED] now"
     assert r.lang is not None and r.ppl is not None
+
+
+def test_run_scrub_cli_honors_config_fields(spark, tmp_path):
+    """Regression: run_scrub rebuilt the config by hand and silently
+    dropped detect_lang/score_ppl back to their defaults. Runs the CLI
+    in a SUBPROCESS (its main() stops the session it adopts)."""
+    import json
+    import subprocess
+    import sys
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("c0", 0, "user", "mail bob@x.io and john doe", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).write.parquet(inp)
+    cfg_path = str(tmp_path / "cfg.json")
+    json.dump(
+        {"dictionary": ["john doe"], "detect_lang": False, "score_ppl": False},
+        open(cfg_path, "w"),
+    )
+    out = str(tmp_path / "out")
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo'); "
+        "sys.path.insert(0, '/root/repo/jobs'); "
+        "import run_scrub; "
+        f"raise SystemExit(run_scrub.main(['--input', {inp!r}, "
+        f"'--output', {out!r}, '--config', {cfg_path!r}]))"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    r = spark.read.parquet(out).first()
+    assert r.lang is None and r.ppl is None  # stages genuinely disabled
+    assert "[REDACTED]" in r.text_scrubbed
