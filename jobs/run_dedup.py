@@ -1,0 +1,117 @@
+"""spark-submit entrypoint for corpus deduplication.
+
+Chains the dedup tiers over a documents table (SURVEY training-data
+mandate): exact (normalized-fingerprint groupBy) → MinHash-LSH
+candidates → exact n-gram-Jaccard verification → greedy keeper
+selection (drop the higher id of every verified pair). Outputs the
+deduplicated corpus plus an optional pairs side-table for audit.
+
+Cluster launch:
+
+    python tools/make_pyfiles.py
+    spark-submit --master <cluster> \
+        --py-files dist/gs_pii_redactor_pyfiles.zip \
+        jobs/run_dedup.py \
+        --input <documents path> --output <deduped path> \
+        --id-col doc_id --text-col text \
+        --jaccard 0.8 --pairs <pairs audit path>
+
+Local smoke:
+
+    spark-submit --master local[8] \
+        --py-files dist/gs_pii_redactor_pyfiles.zip \
+        jobs/run_dedup.py --input /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/dedup_out --pairs /tmp/dedup_pairs
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="documents table path")
+    p.add_argument("--output", required=True, help="deduplicated output path")
+    p.add_argument("--pairs", default=None, help="verified-pairs audit path")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--jaccard", type=float, default=0.8,
+                   help="exact-Jaccard bar for near-dup removal")
+    p.add_argument("--shingle-n", type=int, default=3)
+    p.add_argument("--num-perm", type=int, default=64)
+    p.add_argument("--bands", type=int, default=16)
+    p.add_argument("--max-bucket-size", type=int, default=200)
+    p.add_argument("--skip-exact", action="store_true",
+                   help="skip the exact-dedup tier")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import Observation, SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.appName("gs-pii-redactor-dedup")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+
+    from gs_mcp_proxy_pii_redactor_spark.operators.dedup import (
+        exact_dedup,
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+        unpersist_minhash_cache,
+    )
+
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+
+    # Tier 1: exact duplicates (one hash shuffle)
+    base = docs if args.skip_exact else exact_dedup(docs, args.id_col, args.text_col)
+
+    # Tier 2: LSH candidates (est pre-filter well below the verify bar,
+    # so the estimate never drops a true pair) → exact-Jaccard verify
+    cand = minhash_candidate_pairs(
+        base,
+        args.id_col,
+        args.text_col,
+        shingle_n=args.shingle_n,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        threshold=max(0.0, args.jaccard - 0.25),
+        max_bucket_size=args.max_bucket_size,
+    )
+    verified = ngram_jaccard_pairs(
+        base, cand.select("id_a", "id_b"), args.id_col, args.text_col,
+        n=args.shingle_n,
+    ).filter(F.col("jaccard") >= args.jaccard)
+
+    if args.pairs:
+        verified.write.mode("overwrite").parquet(args.pairs)
+        verified = spark.read.parquet(args.pairs)  # reuse, don't recompute
+
+    # Tier 3: greedy keeper selection — drop the higher id of every pair
+    losers = verified.select(F.col("id_b").alias(args.id_col)).distinct()
+    obs = Observation("dedup")
+    result = base.join(losers, args.id_col, "left_anti").observe(
+        obs, F.count(F.lit(1)).alias("n_out")
+    )
+    result.write.mode("overwrite").parquet(args.output)
+    unpersist_minhash_cache(cand)
+
+    n_out = dict(obs.get)["n_out"]
+    print(
+        f"dedup complete: {n_in} in → {n_out} out "
+        f"({n_in - n_out} removed; jaccard ≥ {args.jaccard})"
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

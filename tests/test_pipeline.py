@@ -337,3 +337,35 @@ def test_run_scrub_cli_honors_config_fields(spark, tmp_path):
     r = spark.read.parquet(out).first()
     assert r.lang is None and r.ppl is None  # stages genuinely disabled
     assert "[REDACTED]" in r.text_scrubbed
+
+
+def test_run_dedup_cli(spark, sf_dir, tmp_path):
+    """Dedup CLI end-to-end in a subprocess: exact + LSH-verified tiers
+    remove the corpus' known near-dups."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "out")
+    pairs = str(tmp_path / "pairs")
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo'); "
+        "sys.path.insert(0, '/root/repo/jobs'); "
+        "import run_dedup; "
+        f"raise SystemExit(run_dedup.main(['--input', "
+        f"{sf_dir + '/documents.parquet'!r}, '--output', {out!r}, "
+        f"'--pairs', {pairs!r}]))"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    kept = spark.read.parquet(out)
+    prs = spark.read.parquet(pairs)
+    assert prs.count() > 0
+    assert prs.agg(F.min("jaccard")).first()[0] >= 0.8
+    assert kept.count() == docs.count() - prs.select("id_b").distinct().count()
+    # no verified pair survives intact in the output
+    survivors = kept.join(prs, kept.doc_id == prs.id_b, "left_semi")
+    assert survivors.count() == 0
