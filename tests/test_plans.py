@@ -181,3 +181,14 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         spark.conf.unset(
             "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
         )
+
+
+def test_tpch_q5_shape_broadcast_chain(spark, sf_dir):
+    """q38: supplier/nation/region dims must broadcast; only the
+    fact-side joins (orders, customer) may shuffle."""
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import (
+        q38_local_supplier_volume,
+    )
+
+    plan = _executed_plan(q38_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
