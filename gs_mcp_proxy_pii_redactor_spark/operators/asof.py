@@ -52,6 +52,15 @@ def asof_join(
     for v in value_cols:
         if v in left.columns:
             raise ValueError(f"value col {v} collides with a left column")
+        if v == "_t":
+            # the match struct stores the right timestamp as field _t;
+            # a value col of the same name would create a duplicate
+            # struct field and _m._t would silently resolve to the
+            # timestamp instead of the value
+            raise ValueError("value col name '_t' is reserved")
+    for reserved in ("_side", "_r", "_m"):
+        if reserved in left.columns or reserved in right.columns:
+            raise ValueError(f"column name {reserved!r} is reserved by asof_join")
 
     left_cols = left.columns
     # side=1 marks left rows; at equal `on`, right (0) sorts first so the

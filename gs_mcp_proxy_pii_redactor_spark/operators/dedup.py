@@ -278,7 +278,10 @@ def minhash_dedup(
     """Drop the higher-id member of every near-dup pair (greedy)."""
     pairs = minhash_candidate_pairs(df, id_col, text_col, **kwargs)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    result = df.join(losers, id_col, "left_anti")
+    # propagate the cache handle so unpersist_minhash_cache(result) works
+    result.minhash_sig = getattr(pairs, "minhash_sig", None)
+    return result
 
 
 # -- SimHash ----------------------------------------------------------------

@@ -77,6 +77,13 @@ class ScrubJobConfig:
     # conv-level aggregate salting factor for hot conversations
     skew_salt: int = 8
 
+    @property
+    def primary_text_column(self) -> str:
+        """The column that feeds langid/ppl/toxicity/quality and lands in
+        ``text_scrubbed`` — single source of truth for every consumer
+        (build_pipeline, run_job counters, metrics, audit, CLIs)."""
+        return self.text_columns[0] if self.text_columns else "text"
+
 
 # ---------------------------------------------------------------------------
 # Full proxy-config loader — parity with the reference's ConfigService

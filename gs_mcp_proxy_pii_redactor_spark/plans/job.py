@@ -59,7 +59,7 @@ def build_pipeline(
     """
     df = apply_tool_filter(df, cfg)
 
-    primary = cfg.text_columns[0] if cfg.text_columns else "text"
+    primary = cfg.primary_text_column
     extras = [
         c for c in cfg.text_columns[1:] if c != primary and c in df.columns
     ]
@@ -286,7 +286,7 @@ def run_job(
     """
     from pyspark.sql import Observation
 
-    primary = cfg.text_columns[0] if cfg.text_columns else "text"
+    primary = cfg.primary_text_column
     result = build_pipeline(spark, input_df, cfg)
     obs = Observation("scrub_job")
     result = result.observe(

@@ -1175,7 +1175,10 @@ def q22_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = ngram_jaccard_pairs(
         docs, cand.select("id_a", "id_b"), "doc_id", "text"
     )
-    return verified.filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+    result = verified.filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+    # propagate the signature-cache handle (caller-owned lifetime)
+    result.minhash_sig = getattr(cand, "minhash_sig", None)
+    return result
 
 
 # DuckDB replica: exact all-pairs shingle-set Jaccard (3-gram over

@@ -45,7 +45,14 @@ def parse_args(argv):
     p.add_argument("--max-bucket-size", type=int, default=200)
     p.add_argument("--skip-exact", action="store_true",
                    help="skip the exact-dedup tier")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.bands <= 0 or args.num_perm % args.bands != 0:
+        p.error(
+            f"--num-perm ({args.num_perm}) must be a positive multiple of "
+            f"--bands ({args.bands}) — LSH banding silently discards the "
+            "remainder permutations otherwise"
+        )
+    return args
 
 
 def main(argv=None) -> int:
@@ -68,11 +75,17 @@ def main(argv=None) -> int:
         unpersist_minhash_cache,
     )
 
-    docs = spark.read.parquet(args.input)
-    n_in = docs.count()
+    # input count rides the first action via observe() — no extra scan
+    obs_in = Observation("dedup_in")
+    docs = spark.read.parquet(args.input).observe(
+        obs_in, F.count(F.lit(1)).alias("n_in")
+    )
 
-    # Tier 1: exact duplicates (one hash shuffle)
+    # Tier 1: exact duplicates (one hash shuffle). The survivor set is
+    # read THREE times downstream (signature chain, Jaccard verify,
+    # final anti-join) — persist so the scan + two hash aggs run once.
     base = docs if args.skip_exact else exact_dedup(docs, args.id_col, args.text_col)
+    base = base.persist()
 
     # Tier 2: LSH candidates (est pre-filter well below the verify bar,
     # so the estimate never drops a true pair) → exact-Jaccard verify
@@ -103,7 +116,9 @@ def main(argv=None) -> int:
     )
     result.write.mode("overwrite").parquet(args.output)
     unpersist_minhash_cache(cand)
+    base.unpersist()
 
+    n_in = dict(obs_in.get)["n_in"]
     n_out = dict(obs.get)["n_out"]
     print(
         f"dedup complete: {n_in} in → {n_out} out "

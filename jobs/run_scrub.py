@@ -123,7 +123,7 @@ def main(argv=None) -> int:
         from gs_mcp_proxy_pii_redactor_spark.plans import audit_frame, build_pipeline
 
         result = spark.read.parquet(args.output)
-        primary = cfg.text_columns[0] if cfg.text_columns else "text"
+        primary = cfg.primary_text_column
         if primary in result.columns and "text_scrubbed" in result.columns:
             audit_frame(result, text_col=primary).write.mode(
                 "overwrite"

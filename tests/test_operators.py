@@ -502,3 +502,16 @@ def test_multimodal_zero_frame_video(spark):
     )
     r = extract_features(empty_vid, mode="strict").first()
     assert r.features == [0.0] * 32
+
+
+def test_asof_join_reserved_name_guards(spark):
+    from gs_mcp_proxy_pii_redactor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 0)], "k int, t int, lid int")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k int, t int, _t double")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, by="k", on="t", value_cols=["_t"])
+    left_r = spark.createDataFrame([(1, 10, 0.0)], "k int, t int, _r double")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left_r, right.drop("_t").withColumn("v", F.lit(1.0)),
+                  by="k", on="t", value_cols=["v"])

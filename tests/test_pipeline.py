@@ -360,12 +360,16 @@ def test_run_dedup_cli(spark, sf_dir, tmp_path):
         timeout=300,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+    from gs_mcp_proxy_pii_redactor_spark.operators.dedup import exact_dedup
+
     docs = spark.read.parquet(sf_dir + "/documents.parquet")
     kept = spark.read.parquet(out)
     prs = spark.read.parquet(pairs)
     assert prs.count() > 0
     assert prs.agg(F.min("jaccard")).first()[0] >= 0.8
-    assert kept.count() == docs.count() - prs.select("id_b").distinct().count()
+    # expected survivors: exact tier first, then near-dup losers removed
+    n_exact = exact_dedup(docs, "doc_id", "text").count()
+    assert kept.count() == n_exact - prs.select("id_b").distinct().count()
     # no verified pair survives intact in the output
     survivors = kept.join(prs, kept.doc_id == prs.id_b, "left_semi")
     assert survivors.count() == 0
