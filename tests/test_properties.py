@@ -99,3 +99,57 @@ def test_matcher_build_dedup_invariant(terms):
         return
     m = Matcher.build(terms)
     assert list(dict.fromkeys(nonempty)) == m.patterns
+
+
+# -- audit readability pass (kernel/audit.py) --------------------------------
+
+json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(min_value=-(2**31), max_value=2**31),
+    st.floats(allow_nan=False, allow_infinity=False), st.text(max_size=40),
+)
+json_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=8), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@given(json_values)
+@settings(max_examples=200, deadline=None)
+def test_readability_fixed_point_on_parsed_values(v):
+    """enhance(parse(json)) must be idempotent on already-parsed data
+    UNLESS a string leaf itself parses as JSON (the one replacement the
+    reference makes). Never throws, never changes non-string structure."""
+    import json
+
+    from gs_mcp_proxy_pii_redactor_spark.kernel.audit import (
+        enhance_for_readability,
+    )
+
+    out = enhance_for_readability(v)
+    # shape-preservation for containers
+    if isinstance(v, (list, dict)):
+        assert type(out) is type(v) and len(out) == len(v)
+    # a JSON round-trip of the OUTPUT must be stable (no re-parseable
+    # strings are introduced by the pass itself for non-string leaves)
+    if not isinstance(v, str):
+        dumped = json.dumps(out)
+        json.loads(dumped)  # never throws
+
+
+@given(json_values)
+@settings(max_examples=200, deadline=None)
+def test_readability_parses_any_embedded_json_string(v):
+    """A JSON-encoded string leaf is always replaced by its parsed value
+    (reference audit-logger.ts:70-75)."""
+    import json
+
+    from gs_mcp_proxy_pii_redactor_spark.kernel.audit import (
+        enhance_for_readability,
+    )
+
+    encoded = json.dumps(v)
+    assert enhance_for_readability(encoded) == v
