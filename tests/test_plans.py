@@ -192,3 +192,38 @@ def test_tpch_q5_shape_broadcast_chain(spark, sf_dir):
 
     plan = _executed_plan(q38_local_supplier_volume(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """With runtime bloom filters on and broadcast off (the big
+    shuffle-join regime at 100 TB), a selective dim filter must inject a
+    bloom_filter_agg + might_contain pre-filter on the fact side —
+    rows that can't join are dropped BEFORE the shuffle."""
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _executed_plan(j)
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
