@@ -155,6 +155,8 @@ def train_ivf_centroids(
         "_h", F.xxhash64(F.col("_v").cast("array<double>").cast("string"), F.lit(seed))
     )
     init_rows = ids.orderBy("_h").limit(n_cells).collect()
+    if not init_rows:
+        raise ValueError("cannot train IVF centroids on an empty table")
     cents = np.asarray([r._v for r in init_rows], dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
 
