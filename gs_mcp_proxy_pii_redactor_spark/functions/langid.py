@@ -14,7 +14,18 @@ langid; the scorer is exact and stable across runs/executors.
 
 from __future__ import annotations
 
+import decimal
 import re
+
+
+def _round_half_up(v: float, digits: int) -> float:
+    """HALF_UP like Spark's F.round / DuckDB's round — Python's builtin
+    round() is banker's and diverges on exact .xxx5 ties."""
+    return float(
+        decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 # Public-knowledge high-frequency word lists (top function words).
 _STOPWORDS: dict[str, frozenset[str]] = {
@@ -141,4 +152,4 @@ def detect_language(text: str | None, max_chars: int = 1000) -> tuple[str, float
         key=lambda i: (-scores[i], _LANGS[i]),
     )
     conf = scores[best_i] / (total_score + 1e-9)
-    return (_LANGS[best_i], round(min(1.0, conf), 4))
+    return (_LANGS[best_i], _round_half_up(min(1.0, conf), 4))

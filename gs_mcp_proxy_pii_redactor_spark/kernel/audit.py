@@ -62,6 +62,10 @@ def audit_timestamp(now: datetime | None = None) -> str:
     """ISO instant with ``[:.]`` → ``-`` (audit-logger.ts:39):
     2024-01-01T00:00:00.000Z → 2024-01-01T00-00-00-000Z."""
     now = now or datetime.now(timezone.utc)
+    if now.tzinfo is None:
+        # treat naive input as UTC — astimezone() would reinterpret it
+        # as host-local time and silently shift the instant
+        now = now.replace(tzinfo=timezone.utc)
     iso = now.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.") + (
         f"{now.microsecond // 1000:03d}Z"
     )

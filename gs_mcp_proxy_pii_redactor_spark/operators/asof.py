@@ -39,12 +39,20 @@ def asof_join(
     direction: str = "backward",
     tolerance: Column | int | float | None = None,
     suffix: str = "_asof",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Attach the latest (backward) / earliest (forward) right row's
     ``value_cols`` to every left row, matched per ``by`` group on ``on``.
 
     Returns left's columns plus ``{v}{suffix}`` per value col and
     ``{on}{suffix}`` (the matched right timestamp; null when no match).
+
+    ``tiebreak``: a right-side column that deterministically orders
+    right rows sharing the same ``(by, on)`` — the row with the
+    GREATEST tiebreak wins (both directions). Without it, duplicate
+    right keys make the picked row partition-order-dependent; pass a
+    stable right-row id whenever the right side is not unique per
+    ``(by, on)``.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
@@ -58,9 +66,11 @@ def asof_join(
             # struct field and _m._t would silently resolve to the
             # timestamp instead of the value
             raise ValueError("value col name '_t' is reserved")
-    for reserved in ("_side", "_r", "_m"):
+    for reserved in ("_side", "_r", "_m", "_tb"):
         if reserved in left.columns or reserved in right.columns:
             raise ValueError(f"column name {reserved!r} is reserved by asof_join")
+    if tiebreak is not None and tiebreak not in right.columns:
+        raise ValueError(f"tiebreak column {tiebreak!r} is not a right column")
 
     left_cols = left.columns
     # side=1 marks left rows; at equal `on`, right (0) sorts first so the
@@ -78,24 +88,37 @@ def asof_join(
         F.col(on).alias(on),
         F.lit(0).alias("_side"),
         payload.alias("_r"),
+        (F.col(tiebreak) if tiebreak is not None else F.lit(None)).alias("_tb"),
     )
+    l_tagged = l_tagged.withColumn("_tb", F.lit(None))
     for c in left_cols:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None))
     l_tagged = l_tagged.withColumn("_r", F.lit(None))
     unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
 
+    # Tiebreak ordering: among right rows tied on (by, on) the GREATEST
+    # _tb must be picked — backward's last() picks the latest-sorted row
+    # (so _tb ascends), forward's first() picks the earliest-sorted (so
+    # _tb descends). Left rows have NULL _tb; _side already separates
+    # them from right rows, so their position is unaffected.
     if direction == "backward":
+        order = [F.asc(on), F.asc("_side")]
+        if tiebreak is not None:
+            order.append(F.asc_nulls_first("_tb"))
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.asc(on), F.asc("_side"))
+            .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         pick = F.last
     else:
+        order = [F.asc(on), F.desc("_side")]
+        if tiebreak is not None:
+            order.append(F.desc_nulls_last("_tb"))
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.asc(on), F.desc("_side"))
+            .orderBy(*order)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = F.first

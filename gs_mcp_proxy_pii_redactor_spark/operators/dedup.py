@@ -287,20 +287,46 @@ def minhash_dedup(
 # -- SimHash ----------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per row, fully JVM-side.
 
-    Explode tokens → xxhash64 per token → per-bit vote sums → recombine.
+    Explode tokens → 64-bit token hash → per-bit vote sums → recombine.
     One shuffle (groupBy id); each bit is a conditional sum the codegen
     vectorizes.
+
+    ``hash_fn``: ``xxhash64`` (default, fastest — one JVM hash per
+    token) or ``md5`` (bit i = bit ``i%4`` of hex nibble ``i//4`` of
+    ``md5(token)``) — md5 exists with identical output in DuckDB, which
+    makes the whole operator exactly replicable in an external SQL
+    oracle (the driver gate uses this variant; see _q39_oracle_sql).
     """
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    )
+    if hash_fn == "xxhash64":
+        toks = toks.withColumn("_h", F.xxhash64("_t"))
+        bit = [
+            F.shiftright("_h", i).bitwiseAND(F.lit(1)) for i in range(64)
+        ]
+    elif hash_fn == "md5":
+        m = F.md5("_t")
+        toks = toks.select(
+            "_id",
+            *[
+                F.conv(F.substring(m, p + 1, 1), 16, 10)
+                .cast("int")
+                .alias(f"_n{p}")
+                for p in range(16)
+            ],
+        )
+        bit = [
+            F.shiftright(F.col(f"_n{i // 4}"), i % 4).bitwiseAND(F.lit(1))
+            for i in range(64)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     votes = [
-        F.sum(
-            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_v{i}")
+        F.sum(F.when(bit[i] == 1, 1).otherwise(-1)).alias(f"_v{i}")
         for i in range(64)
     ]
     agg = toks.groupBy("_id").agg(*votes)
@@ -320,10 +346,24 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = 3,
     max_bucket_size: int = 500,
+    hash_fn: str = "xxhash64",
+    chunk_bits: int = 16,
 ) -> DataFrame:
-    """Candidate pairs via 16-bit chunk banding (pigeonhole: hamming ≤ 3
-    ⇒ at least one of 4 chunks equal), verified with bit_count(xor)."""
-    sig = simhash(df, id_col, text_col)
+    """Candidate pairs via ``64/chunk_bits``-chunk banding, verified with
+    bit_count(xor).
+
+    Pigeonhole: recall is EXACT (every qualifying pair is a candidate)
+    iff ``max_hamming < 64/chunk_bits`` and no bucket exceeds
+    ``max_bucket_size``. The 16-bit default (4 chunks) is the scale
+    shape — 2^16 buckets per chunk keeps the within-bucket join linear;
+    smaller chunks raise guaranteed-recall hamming at the cost of bigger
+    buckets (8-bit chunks = 256 buckets/chunk: fine at oracle SF, NOT
+    the shape to run at 100 TB)."""
+    if 64 % chunk_bits:
+        raise ValueError("chunk_bits must divide 64")
+    n_chunks = 64 // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    sig = simhash(df, id_col, text_col, hash_fn=hash_fn)
     chunks = sig.select(
         F.col(id_col).alias("_id"),
         "simhash",
@@ -332,11 +372,11 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", chunk_bits * c)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("_c"),

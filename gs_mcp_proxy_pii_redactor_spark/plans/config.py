@@ -27,7 +27,7 @@ def interpolate_env(value: str, env: dict[str, str] | None = None) -> str:
     def sub(m: re.Match) -> str:
         name = m.group(1)
         if name not in env:
-            raise KeyError(f"Environment variable {name} is not set")
+            raise ValueError(f"Environment variable {name} is not set")
         return env[name]
 
     return _ENV_RE.sub(sub, value)
@@ -110,7 +110,10 @@ def _expand_env_in_headers(headers: dict, env: dict[str, str]) -> None:
             def sub(m: re.Match, _key=key) -> str:
                 name = m.group(1)
                 if name not in env:
-                    raise KeyError(
+                    # ValueError like every other config error here —
+                    # KeyError's str() quotes the message, breaking the
+                    # reference's message shape when rendered.
+                    raise ValueError(
                         f"Environment variable {name} referenced in header "
                         f"{_key} is not set"
                     )

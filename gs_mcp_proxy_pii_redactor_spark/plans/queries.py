@@ -1274,9 +1274,13 @@ ORDER BY c.user_id, c.event_id
 
 
 # ---------------------------------------------------------------------------
-# Q34 — multimodal decode + feature extraction (rows-only: the toy-RAW
-# codec isn't DuckDB-expressible; codec roundtrip/resize/frame-sampling
-# are pinned in tests/test_operators.py)
+# Q34 — multimodal decode + feature extraction. FULL oracle since
+# round 3: the 120-row input is synthesized deterministically (seed-free
+# numpy formulas, sf-independent), so the exact expected output is a
+# golden VALUES table (tools/gen_q34_golden.py regenerates it THROUGH
+# this query; tests/test_operators.py asserts the live pipeline still
+# matches). f0 is cast to double BEFORE rounding so both engines round
+# the same exact value (float32 round would not hit 6-decimal points).
 
 
 def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1285,9 +1289,30 @@ def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(spark, n=120)
     return (
         extract_features(media, mode="strict")
-        .select("media_id", "kind", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0"))
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        )
         .orderBy("media_id")
     )
+
+
+def _q34_oracle_sql() -> str:
+    from .q34_golden import Q34_GOLDEN_ROWS
+
+    vals = ",\n  ".join(
+        f"({mid}, '{kind}', {nb}, {f0!r})" for mid, kind, nb, f0 in Q34_GOLDEN_ROWS
+    )
+    return f"""
+SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+       CAST(n_bytes AS BIGINT) AS n_bytes, CAST(f0 AS DOUBLE) AS f0
+FROM (VALUES
+  {vals}
+) AS t(media_id, kind, n_bytes, f0)
+ORDER BY media_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1487,17 +1512,64 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC
 
 
 # ---------------------------------------------------------------------------
-# Q39 — SimHash near-dup pairs (rows-only: signatures are Spark xxhash64
-# bit votes, not DuckDB-replicable; semantics pinned in test_operators).
+# Q39 — SimHash near-dup pairs (FULL oracle since round 3: the driver
+# variant derives each token's 64 bit votes from md5 hex nibbles — md5
+# agrees byte-for-byte between Spark and DuckDB — and bands with 8-bit
+# chunks so pigeonhole recall is EXACT for hamming ≤ 7 > 6; the DuckDB
+# side recomputes every signature as a 64-char bitstring and verifies
+# ALL pairs with hamming(). Production path stays xxhash64 + 16-bit
+# chunks (operators/dedup.py simhash_near_dup_pairs defaults).
 
 
 def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_dup_pairs
 
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(
-        docs, "doc_id", "text", max_hamming=6
-    ).orderBy("id_a", "id_b")
+    return (
+        simhash_near_dup_pairs(
+            docs,
+            "doc_id",
+            "text",
+            max_hamming=6,
+            hash_fn="md5",
+            chunk_bits=8,
+            max_bucket_size=1_000_000,  # exactness > blowup guard at oracle SF
+        )
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q39_oracle_sql() -> str:
+    """DuckDB replica of the ENTIRE md5 SimHash: same tokenization, same
+    md5-nibble bit votes, signatures as 64-char bitstrings, exact
+    all-pairs hamming ≤ 6 (a superset of any banding scheme — equality
+    with Spark proves the 8-chunk banding lost nothing)."""
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN ((((strpos('0123456789abcdef', substr(m, {i // 4 + 1}, 1)) - 1) >> {i % 4}) & 1) = 1) "
+        f"THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    bits = ", ".join(f"CASE WHEN v{i} > 0 THEN '1' ELSE '0' END" for i in range(64))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), hx AS (
+  SELECT doc_id, md5(tok) AS m FROM toks
+), votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hx GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, concat({bits}) AS bits FROM votes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(hamming(a.bits, b.bits) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE hamming(a.bits, b.bits) <= 6
+ORDER BY id_a, id_b
+"""
 
 
 QUERIES = {
@@ -1579,6 +1651,9 @@ ORACLE_SQL = {
     "q38_local_supplier_volume": _Q38_SQL,
     "q31_embedding_neardup_lsh": _q31_oracle_sql(),
     "q32_toxicity_ratio": _Q32_SQL,
-    # q34 (toy-codec decode) and q35 (iterative k-means) stay rows-only:
-    # genuinely not SQL-expressible; both are pinned in pytest instead.
+    "q34_multimodal_features": _q34_oracle_sql(),
+    "q39_simhash_pairs": _q39_oracle_sql(),
+    # q35 (iterative k-means training) stays rows-only: genuinely not
+    # SQL-expressible; search-side exactness is pinned in pytest
+    # (IVF hits ⊆ brute-force top-N with identical cos_sim).
 }

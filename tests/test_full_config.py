@@ -89,7 +89,7 @@ def test_env_unset_raises_with_header_name(tmp_path):
         "mcpProxy": {},
         "mcpServers": {"s1": {"headers": {"Authorization": "${MISSING}"}}},
     }
-    with pytest.raises(KeyError, match="MISSING.*Authorization.*is not set"):
+    with pytest.raises(ValueError, match="MISSING.*Authorization.*is not set"):
         load_full_config(_write(tmp_path, obj), env={})
 
 

@@ -27,7 +27,7 @@ PAYLOAD = {
 
 def test_interpolate_env():
     assert interpolate_env("x-${FOO}-y", {"FOO": "1"}) == "x-1-y"
-    with pytest.raises(KeyError):
+    with pytest.raises(ValueError):
         interpolate_env("${MISSING_VAR_XYZ}", {})
 
 

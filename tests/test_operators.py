@@ -211,6 +211,22 @@ def test_multimodal_real_decode_on_raw_payloads(spark):
     assert len(auto) == 1 and len(auto[0].features) == 32
 
 
+def test_q34_golden_matches_live(spark):
+    """The embedded q34 golden rows (plans/q34_golden.py — the DuckDB
+    VALUES oracle) must track the live pipeline; regenerate with
+    tools/gen_q34_golden.py if synthesis/features legitimately change."""
+    from gs_mcp_proxy_pii_redactor_spark.plans.q34_golden import Q34_GOLDEN_ROWS
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import (
+        q34_multimodal_features,
+    )
+
+    rows = [
+        (r.media_id, r.kind, r.n_bytes, r.f0)
+        for r in q34_multimodal_features(spark, "").collect()
+    ]
+    assert rows == [tuple(t) for t in Q34_GOLDEN_ROWS]
+
+
 def test_multimodal_codec_roundtrip_and_resize():
     from gs_mcp_proxy_pii_redactor_spark.operators.multimodal import (
         _synth_audio,
@@ -391,6 +407,41 @@ def test_asof_join_tie_includes_equal_timestamp(spark):
     right = spark.createDataFrame([(1, 10, 7.0)], "k int, t int, v double")
     r = asof_join(left, right, by="k", on="t", value_cols=["v"]).first()
     assert r.v_asof == 7.0 and r.t_asof == 10
+
+
+def test_asof_join_tiebreak_deterministic(spark):
+    """Duplicate right (by, on) keys: ``tiebreak`` picks the GREATEST
+    tiebreak row deterministically in both directions; without it the
+    pick is partition-order-dependent."""
+    from gs_mcp_proxy_pii_redactor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 0), (1, 4, 1)], "k int, t int, lid int")
+    # three right rows tied at t=5 (backward match for t=10) and two at
+    # t=4 (exact-tie match), shuffled input order + forced repartition
+    right = spark.createDataFrame(
+        [(1, 5, 30.0, 102), (1, 5, 10.0, 100), (1, 5, 20.0, 101),
+         (1, 4, 1.0, 7), (1, 4, 2.0, 9)],
+        "k int, t int, v double, rid int",
+    ).repartition(4)
+    back = {
+        r.lid: r.v_asof
+        for r in asof_join(
+            left, right, by="k", on="t", value_cols=["v"], tiebreak="rid"
+        ).collect()
+    }
+    assert back[0] == 30.0  # rid=102 wins the t=5 tie
+    assert back[1] == 2.0   # rid=9 wins the t=4 exact tie
+    fwd = {
+        r.lid: r.v_asof
+        for r in asof_join(
+            left, right, by="k", on="t", value_cols=["v"],
+            direction="forward", tiebreak="rid",
+        ).collect()
+    }
+    assert fwd[1] == 2.0    # forward from t=4: greatest rid at t=4
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join(left, right, by="k", on="t", value_cols=["v"],
+                  tiebreak="nope")
 
 
 def test_shingles_short_and_empty_texts(spark):
