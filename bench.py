@@ -80,10 +80,32 @@ def _bandwidth_probe_gbps() -> float:
     return round(k * 0.4 / (time.time() - t0), 2)
 
 
+BW_HEALTHY_GBPS = float(os.environ.get("BENCH_BW_HEALTHY_GBPS", "2.0"))
+BW_MAX_WAITS = int(os.environ.get("BENCH_BW_MAX_WAITS", "8"))
+
+
+def _wait_for_bandwidth_window(probes: list[float]) -> None:
+    """Round-2 verdict #6: a JVM that starts inside a collapsed DRAM
+    window (this host drifts 5-30×, sometimes to 0.2 GB/s) records a
+    meaningless sample. Re-probe before each JVM and wait (bounded) for
+    the healthy band; every probe is recorded so a reader can audit the
+    gating. Proceeds regardless after BW_MAX_WAITS — a long collapse
+    must not deadlock the bench."""
+    for _ in range(BW_MAX_WAITS):
+        bw = _bandwidth_probe_gbps()
+        probes.append(bw)
+        if bw >= BW_HEALTHY_GBPS:
+            return
+        time.sleep(20)
+
+
 def headline_scrub_separate_jvms(tmp_path: str, n_jvms: int) -> dict:
-    """Best scrub wall across ``n_jvms`` sequential fresh JVMs."""
+    """Best scrub wall across ``n_jvms`` sequential fresh JVMs, each
+    launched only inside a healthy-bandwidth window (bounded wait)."""
     samples: list[float] = []
+    probes: list[float] = []
     for _ in range(n_jvms):
+        _wait_for_bandwidth_window(probes)
         out = subprocess.run(
             [sys.executable, "-c", _SCRUB_WORKER, str(CPUS), tmp_path],
             capture_output=True,
@@ -96,7 +118,7 @@ def headline_scrub_separate_jvms(tmp_path: str, n_jvms: int) -> dict:
         if not lines:
             raise RuntimeError(f"scrub worker failed: {out.stderr[-2000:]}")
         samples.extend(json.loads(lines[-1][len("BENCHJSON"):])["times"])
-    return {"best": min(samples), "samples": samples}
+    return {"best": min(samples), "samples": samples, "bw_probes": probes}
 
 
 def build_spark(cpus: int):
@@ -124,6 +146,7 @@ def run_bench(spark, sf_dir: str, turns_per_doc: int = TURNS_PER_DOC):
     from gs_mcp_proxy_pii_redactor_spark.operators.dedup import (
         minhash_candidate_pairs,
         simhash,
+        unpersist_minhash_cache,
     )
     from gs_mcp_proxy_pii_redactor_spark.plans import (
         ScrubJobConfig,
@@ -191,6 +214,7 @@ def run_bench(spark, sf_dir: str, turns_per_doc: int = TURNS_PER_DOC):
         head = headline_scrub_separate_jvms(tmp, HEADLINE_JVMS)
         timings["scrub_pipeline"] = round(head["best"], 3)
         extras["scrub_samples"] = head["samples"]
+        extras["scrub_bw_probes"] = head["bw_probes"]
         spark = build_spark(CPUS)
         spark.sparkContext.setLogLevel("ERROR")
         tdf = spark.read.parquet(tmp)
@@ -216,9 +240,14 @@ def run_bench(spark, sf_dir: str, turns_per_doc: int = TURNS_PER_DOC):
     timed("q13_knn_bruteforce", lambda: q13_knn_bruteforce(spark, sf_dir).collect())
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    timed("minhash_pairs_docs", lambda: minhash_candidate_pairs(
-        docs, "doc_id", "text", threshold=0.5
-    ).count())
+
+    def minhash_run():
+        pairs = minhash_candidate_pairs(docs, "doc_id", "text", threshold=0.5)
+        n = pairs.count()
+        unpersist_minhash_cache(pairs)  # timed loops must not stack caches
+        return n
+
+    timed("minhash_pairs_docs", minhash_run)
     timed("simhash_docs", lambda: simhash(docs, "doc_id", "text")
           .agg(F.bit_xor("simhash")).collect())
 

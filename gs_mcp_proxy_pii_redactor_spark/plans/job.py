@@ -275,6 +275,7 @@ def run_job(
     cfg: ScrubJobConfig,
     output_path: str,
     metrics_path: str | None = None,
+    conv_stats_path: str | None = None,
 ) -> dict:
     """Execute the pipeline and write outputs (branch A + branch B).
 
@@ -282,7 +283,9 @@ def run_job(
     scans — and are returned. The per-(lang, role) metrics table (when
     ``metrics_path`` is set) reads back the written parquet: a pruned
     columnar scan of 4 narrow columns, the cheapest way to get a grouped
-    rollup without shuffling the wide result a second time.
+    rollup without shuffling the wide result a second time. The
+    per-conversation lineage table (when ``conv_stats_path`` is set) is
+    the salted two-phase rollup, salted by ``cfg.skew_salt``.
     """
     from pyspark.sql import Observation
 
@@ -299,9 +302,14 @@ def run_job(
     )
     result.write.mode("overwrite").parquet(output_path)
     counters = dict(obs.get)
-    if metrics_path:
+    if metrics_path or conv_stats_path:
         out = spark.read.parquet(output_path)
-        scrub_metrics(out, text_col=primary).write.mode("overwrite").parquet(
-            metrics_path
-        )
+        if metrics_path:
+            scrub_metrics(out, text_col=primary).write.mode("overwrite").parquet(
+                metrics_path
+            )
+        if conv_stats_path:
+            conv_stats(out, salt=cfg.skew_salt).write.mode("overwrite").parquet(
+                conv_stats_path
+            )
     return counters

@@ -1317,7 +1317,14 @@ ORDER BY media_id
 
 # ---------------------------------------------------------------------------
 # Q35 — IVF ANN (rows-only: k-means training is iterative, not
-# SQL-expressible; planted-cluster recall is pinned in pytest)
+# SQL-expressible). Evidence instead: planted-cluster recall +
+# IVF-hits-⊆-brute-force-top-N (identical cos_sim) pinned in pytest.
+# The query vector is a deterministic LITERAL (round-2 verdict: the old
+# `.first()` pulled row vec_id=0 to the driver — an extra job mid-query).
+
+import math as _math
+
+_Q35_QUERY = [round(_math.cos(0.37 * (i + 1)), 6) for i in range(64)]
 
 
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,8 +1337,7 @@ def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     cents = train_ivf_centroids(emb, n_cells=8, iters=3, seed=42)
     assigned = assign_ivf_cells(emb, cents)
-    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
-    return ivf_topk(assigned, cents, q, k=10, nprobe=3).orderBy(
+    return ivf_topk(assigned, cents, _Q35_QUERY, k=10, nprobe=3).orderBy(
         F.desc("cos_sim"), "vec_id"
     )
 

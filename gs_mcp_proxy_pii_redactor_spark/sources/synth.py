@@ -125,6 +125,10 @@ def synthesize_transcripts(
 
 def write_transcripts(df: DataFrame, path: str, buckets: int = 0) -> None:
     """Materialize the synthetic table (Parquet locally; Iceberg would use
-    writeTo(...).partitionedBy(bucket(N, conv_id), days(ts))."""
-    writer = df.write.mode("overwrite")
-    writer.parquet(path)
+    writeTo(...).partitionedBy(bucket(N, conv_id), days(ts)). ``buckets``
+    > 0 hash-clusters conv_ids into that many files — the local analogue
+    of Iceberg's bucket(N, conv_id), so conv-keyed consumers get the
+    same co-location the production table would have."""
+    if buckets > 0:
+        df = df.repartition(buckets, "conv_id")
+    df.write.mode("overwrite").parquet(path)

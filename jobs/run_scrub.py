@@ -31,6 +31,12 @@ def parse_args(argv):
     p.add_argument("--output", required=True)
     p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     p.add_argument("--metrics", default=None, help="metrics output path")
+    p.add_argument(
+        "--conv-stats",
+        default=None,
+        help="per-conversation lineage rollup output path (salted by "
+        "the config's skew_salt)",
+    )
     p.add_argument("--audit", default=None, help="audit side-output path")
     p.add_argument(
         "--dictionary-file",
@@ -116,7 +122,10 @@ def main(argv=None) -> int:
         )
         print(f"resumable run complete: run_id={run_id}")
     else:
-        counters = run_job(spark, input_df, cfg, args.output, args.metrics)
+        counters = run_job(
+            spark, input_df, cfg, args.output, args.metrics,
+            conv_stats_path=args.conv_stats,
+        )
         print(f"run complete: {counters}")
 
     if args.audit:

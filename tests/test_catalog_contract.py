@@ -1,0 +1,66 @@
+"""Contract-level coverage for the Iceberg read path.
+
+No Iceberg runtime jar exists in this sandbox (BASELINE.md's production
+target is an Iceberg transcript table), so this pins the OPTION PLUMBING
+— format name, snapshot-id stringification, table identifier — against a
+fake reader, ensuring the first real-cluster run exercises exactly the
+options this engine promises (sources/catalog.py read_transcripts).
+"""
+
+from __future__ import annotations
+
+from gs_mcp_proxy_pii_redactor_spark.sources.catalog import read_transcripts
+
+
+class _FakeReader:
+    def __init__(self, calls: dict):
+        self._calls = calls
+        self._fmt = None
+        self._opts: dict = {}
+
+    def format(self, fmt):
+        self._fmt = fmt
+        return self
+
+    def option(self, key, value):
+        self._opts[key] = value
+        return self
+
+    def load(self, path):
+        self._calls.update(fmt=self._fmt, opts=dict(self._opts), path=path)
+        return "SENTINEL_DF"
+
+
+class _FakeSpark:
+    def __init__(self, calls: dict):
+        self._calls = calls
+
+    @property
+    def read(self):
+        return _FakeReader(self._calls)
+
+
+def test_iceberg_read_with_snapshot_pins_options():
+    calls: dict = {}
+    out = read_transcripts(
+        _FakeSpark(calls), "warehouse.db.transcripts", fmt="iceberg",
+        snapshot_id=4242,
+    )
+    assert out == "SENTINEL_DF"
+    assert calls["fmt"] == "iceberg"
+    assert calls["path"] == "warehouse.db.transcripts"
+    # Iceberg expects the snapshot id as a STRING option named
+    # 'snapshot-id' (spark.read.format("iceberg").option("snapshot-id", …))
+    assert calls["opts"] == {"snapshot-id": "4242"}
+
+
+def test_iceberg_read_without_snapshot_sets_no_options():
+    calls: dict = {}
+    read_transcripts(_FakeSpark(calls), "db.t", fmt="iceberg")
+    assert calls["fmt"] == "iceberg" and calls["opts"] == {}
+
+
+def test_non_iceberg_format_passthrough():
+    calls: dict = {}
+    read_transcripts(_FakeSpark(calls), "/some/path", fmt="orc")
+    assert calls["fmt"] == "orc" and calls["opts"] == {}

@@ -112,6 +112,25 @@ def test_metrics_and_conv_stats(spark, transcripts, cfg):
     assert hot and by_conv[hot[0]].n_turns >= 20
 
 
+def test_run_job_conv_stats_output(spark, transcripts, cfg, tmp_path):
+    """run_job's conv_stats_path writes the per-conversation lineage
+    rollup salted by cfg.skew_salt (the knob the dead-param guard found
+    unplumbed in round 3)."""
+    from gs_mcp_proxy_pii_redactor_spark.plans import run_job
+
+    out = str(tmp_path / "out")
+    cs_path = str(tmp_path / "conv_stats")
+    counters = run_job(
+        spark, transcripts, cfg, out, conv_stats_path=cs_path
+    )
+    cs = spark.read.parquet(cs_path)
+    assert {"conv_id", "n_turns", "n_keep", "keep_rate", "total_chars"} <= set(
+        cs.columns
+    )
+    assert cs.count() == transcripts.select("conv_id").distinct().count()
+    assert counters["n_rows"] == transcripts.count()
+
+
 def test_tool_filter_modes(spark, transcripts):
     base = ScrubJobConfig(dictionary=("x",), enabled=False)
     allow = ScrubJobConfig(
