@@ -91,12 +91,13 @@ def _wait_for_bandwidth_window(probes: list[float]) -> None:
     the healthy band; every probe is recorded so a reader can audit the
     gating. Proceeds regardless after BW_MAX_WAITS — a long collapse
     must not deadlock the bench."""
-    for _ in range(BW_MAX_WAITS):
+    for i in range(BW_MAX_WAITS):
         bw = _bandwidth_probe_gbps()
         probes.append(bw)
         if bw >= BW_HEALTHY_GBPS:
             return
-        time.sleep(20)
+        if i < BW_MAX_WAITS - 1:  # no point sleeping after the last probe
+            time.sleep(20)
 
 
 def headline_scrub_separate_jvms(tmp_path: str, n_jvms: int) -> dict:
@@ -269,7 +270,10 @@ def run_bench(spark, sf_dir: str, turns_per_doc: int = TURNS_PER_DOC):
         q33_asof_join,
     )
 
-    timed("q33_asof_join", lambda: q33_asof_join(spark, sf_dir).count())
+    # agg over the matched payload — a bare count() lets column pruning
+    # drop the window expression entirely and times only union+filter
+    timed("q33_asof_join", lambda: q33_asof_join(spark, sf_dir)
+          .agg(F.sum("purch_value"), F.count("*")).collect())
     timed("q31_neardup_lsh", lambda: q31_embedding_neardup_lsh(spark, sf_dir).count())
 
     import shutil

@@ -251,11 +251,14 @@ def conv_stats(result: DataFrame, salt: int = 8) -> DataFrame:
     Two-phase aggregation: partial agg on (conv_id, salt) spreads a hot
     conversation over ``salt`` reducers, then a cheap final agg on
     conv_id combines the partials. AQE skew-join handling covers joins;
-    this covers the groupBy path.
+    this covers the groupBy path. ``salt <= 1`` disables salting (a
+    constant salt column — single-phase in effect; pmod(_, 0) would
+    throw under ANSI mode, and a config knob must not be a crash lever).
     """
-    salted = result.withColumn(
-        "_salt", F.pmod(F.xxhash64("turn_idx"), F.lit(salt))
+    salt_col = (
+        F.pmod(F.xxhash64("turn_idx"), F.lit(salt)) if salt > 1 else F.lit(0)
     )
+    salted = result.withColumn("_salt", salt_col)
     partial = salted.groupBy("conv_id", "_salt").agg(
         F.count("*").alias("n"),
         F.sum(F.col("keep").cast("long")).alias("k"),

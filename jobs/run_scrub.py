@@ -121,6 +121,16 @@ def main(argv=None) -> int:
             wave_size=args.wave_size,
         )
         print(f"resumable run complete: run_id={run_id}")
+        if args.conv_stats:
+            # resumable mode writes through run_resumable_job, so the
+            # lineage rollup reads the completed output back (pruned
+            # columnar scan) — the flag must not be silently dropped
+            from gs_mcp_proxy_pii_redactor_spark.plans import conv_stats
+
+            out_df = spark.read.parquet(args.output)
+            conv_stats(out_df, salt=cfg.skew_salt).write.mode(
+                "overwrite"
+            ).parquet(args.conv_stats)
     else:
         counters = run_job(
             spark, input_df, cfg, args.output, args.metrics,

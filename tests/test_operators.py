@@ -535,7 +535,7 @@ def test_ivf_training_scale_shape(spark):
     assert np.allclose(c1, c2)
 
 
-def test_q35_ivf_hits_subset_of_bruteforce(spark):
+def test_q35_ivf_hits_subset_of_bruteforce(spark, sf_dir):
     """q35 evidence (rows-only driver entry): every IVF hit appears in
     the exact brute-force top-N for the same literal query with an
     IDENTICAL cos_sim, and the query lineage contains no driver-side
@@ -549,9 +549,8 @@ def test_q35_ivf_hits_subset_of_bruteforce(spark):
     )
     from gs_mcp_proxy_pii_redactor_spark.sources.catalog import read_table
 
-    sf = "/root/testdata/sf0.001"
-    ivf = {(r.vec_id, r.cos_sim) for r in q35_ivf_topk(spark, sf).collect()}
-    emb = read_table(spark, sf, "embeddings")
+    ivf = {(r.vec_id, r.cos_sim) for r in q35_ivf_topk(spark, sf_dir).collect()}
+    emb = read_table(spark, sf_dir, "embeddings")
     exact = {
         (r.vec_id, r.cos_sim)
         for r in brute_force_topk(emb, _Q35_QUERY, k=50).collect()

@@ -112,6 +112,42 @@ def test_metrics_and_conv_stats(spark, transcripts, cfg):
     assert hot and by_conv[hot[0]].n_turns >= 20
 
 
+def test_write_transcripts_buckets(spark, transcripts, tmp_path):
+    """buckets>0 hash-clusters conv_ids into that many files (the local
+    bucket(N, conv_id) analogue) — every conv lands in exactly one file."""
+    import os
+
+    from gs_mcp_proxy_pii_redactor_spark.sources import write_transcripts
+
+    path = str(tmp_path / "bucketed")
+    write_transcripts(transcripts, path, buckets=4)
+    parts = [f for f in os.listdir(path) if f.startswith("part-")]
+    assert len(parts) == 4
+    out = spark.read.parquet(path)
+    assert out.count() == transcripts.count()
+    multi_file_convs = (
+        out.withColumn("_f", F.input_file_name())
+        .groupBy("conv_id")
+        .agg(F.countDistinct("_f").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .count()
+    )
+    assert multi_file_convs == 0
+
+
+def test_conv_stats_salt_disabled_matches_default(spark, transcripts, cfg):
+    """salt<=1 must disable salting without crashing (pmod(_,0) throws
+    under ANSI) and produce identical aggregates."""
+    result = build_pipeline(spark, transcripts, cfg)
+    base = {r.conv_id: (r.n_turns, r.n_keep) for r in conv_stats(result).collect()}
+    for salt in (0, 1):
+        got = {
+            r.conv_id: (r.n_turns, r.n_keep)
+            for r in conv_stats(result, salt=salt).collect()
+        }
+        assert got == base
+
+
 def test_run_job_conv_stats_output(spark, transcripts, cfg, tmp_path):
     """run_job's conv_stats_path writes the per-conversation lineage
     rollup salted by cfg.skew_salt (the knob the dead-param guard found
@@ -356,6 +392,40 @@ def test_run_scrub_cli_honors_config_fields(spark, tmp_path):
     r = spark.read.parquet(out).first()
     assert r.lang is None and r.ppl is None  # stages genuinely disabled
     assert "[REDACTED]" in r.text_scrubbed
+
+
+def test_run_scrub_cli_resumable_conv_stats(spark, tmp_path):
+    """Review finding (round 3): --conv-stats was silently dropped when
+    --manifest (resumable mode) was used. The flag must produce the
+    lineage rollup in BOTH branches."""
+    import subprocess
+    import sys
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("c0", 0, "user", "hello there", None),
+         ("c0", 1, "assistant", "hi bob@x.io", None),
+         ("c1", 0, "user", "more text here", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).write.parquet(inp)
+    out = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest")
+    cs = str(tmp_path / "cs")
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo'); "
+        "sys.path.insert(0, '/root/repo/jobs'); "
+        "import run_scrub; "
+        f"raise SystemExit(run_scrub.main(['--input', {inp!r}, "
+        f"'--output', {out!r}, '--manifest', {manifest!r}, "
+        f"'--buckets', '4', '--conv-stats', {cs!r}]))"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rollup = {r.conv_id: r.n_turns for r in spark.read.parquet(cs).collect()}
+    assert rollup == {"c0": 2, "c1": 1}
 
 
 def test_run_dedup_cli(spark, sf_dir, tmp_path):

@@ -94,8 +94,12 @@ lhs = tdf.select("conv_id", "turn_idx")
 rhs = (tdf.filter(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(4)) == 0)
           .select("conv_id", "turn_idx", F.length("text").alias("feat")))
 def asof_pass():
-    return asof_join(lhs, rhs, by="conv_id", on="turn_idx",
-                     value_cols=["feat"]).count()
+    # force the matched payload (a bare count() lets column pruning drop
+    # the window expression and times only union+filter)
+    joined = asof_join(lhs, rhs, by="conv_id", on="turn_idx",
+                       value_cols=["feat"])
+    row = joined.agg(F.sum("feat_asof"), F.count("*")).collect()[0]
+    return row[1]
 n_asof = asof_pass()  # warm-up
 atimes = []
 for _ in range(2):
@@ -279,7 +283,11 @@ Round-1 flagged a 17.6× spread between the driver's recorded bench
 bandwidth drifts 5-30× across minutes. bench.py now measures the
 headline scrub in three separate sequential JVMs (warm-up + 2 timed
 passes each, overall best of 6) with numpy bandwidth probes recorded
-before/after, and the resident session stopped during the workers.
+before/after, the resident session stopped during the workers, and —
+since round 3 — each JVM launch GATED on a ≥2 GB/s probe (bounded
+8×20s wait, all probes recorded as scrub_bw_probes) so a collapsed
+window can no longer seed the sample pool the way BENCH_r02's 0.24 GB/s
+first JVM did.
 Two consecutive bench.py runs at sf0.1/local[32]/250k turns measured
 142,046 and 159,337 turns/s (ratio 1.12, criterion ≤ 1.5×), both within
 13% of the 2M-turn table — the round-1 numbers differed by sampling
