@@ -58,11 +58,23 @@ def full_pass():
     result = build_pipeline(spark, tdf, cfg)
     result.agg(F.sum(F.col("keep").cast("long")), F.sum(F.length("text_scrubbed")),
                F.sum("ppl")).collect()
+import numpy as _np
+def _probe():
+    a = _np.zeros(200_000_000 // 8); t0 = time.time(); k = 0
+    while time.time() - t0 < 0.5:
+        _ = a * 1.000001; k += 1
+    return round(k * 0.2 / (time.time() - t0), 2)
 full_pass()  # warm-up: worker spawn, imports, codegen JIT
-times = []
-for _ in range(2):
+times, probes = [], []
+for _ in range(3):
+    # probe at the timing moment (the pre-launch gate is minutes stale
+    # by now on this drifting host); one bounded retry per pass
+    bw = _probe()
+    if bw < 2.0:
+        time.sleep(15); bw = _probe()
+    probes.append(bw)
     t0 = time.time(); full_pass(); times.append(round(time.time() - t0, 3))
-print("BENCHJSON" + json.dumps({"times": times}))
+print("BENCHJSON" + json.dumps({"times": times, "probes": probes}))
 spark.stop()
 """ % {"repo": os.path.dirname(os.path.abspath(__file__))}
 
@@ -118,7 +130,9 @@ def headline_scrub_separate_jvms(tmp_path: str, n_jvms: int) -> dict:
         ]
         if not lines:
             raise RuntimeError(f"scrub worker failed: {out.stderr[-2000:]}")
-        samples.extend(json.loads(lines[-1][len("BENCHJSON"):])["times"])
+        payload = json.loads(lines[-1][len("BENCHJSON"):])
+        samples.extend(payload["times"])
+        probes.extend(payload.get("probes", []))
     return {"best": min(samples), "samples": samples, "bw_probes": probes}
 
 
