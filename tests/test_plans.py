@@ -83,6 +83,26 @@ def test_asof_join_single_exchange(spark):
     assert "Join" not in plan  # no join operator at all — window only
 
 
+def test_asof_count_prunes_window_but_payload_agg_keeps_it(spark):
+    """Benchmark-validity pin (round 3): a bare count() on an asof
+    result lets Catalyst prune the Window node ENTIRELY (it only feeds
+    pruned output columns), so any timing harness must aggregate the
+    matched payload. If Catalyst ever stops pruning here, the bench
+    comment is stale; if payload aggregation ever stops forcing the
+    window, the bench is broken — both directions pinned."""
+    from pyspark.sql import functions as F
+
+    from gs_mcp_proxy_pii_redactor_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 0)], "k int, t int, lid int")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k int, t int, v double")
+    out = asof_join(left, right, by="k", on="t", value_cols=["v"])
+    count_plan = out.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+    agg_plan = out.agg(F.sum("v_asof"))._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in count_plan
+    assert "Window" in agg_plan
+
+
 def test_exact_dedup_no_window_sort(spark, sf_dir):
     """exact_dedup = two hash aggs + semi join; no Window/global Sort."""
     from gs_mcp_proxy_pii_redactor_spark.operators.dedup import exact_dedup
