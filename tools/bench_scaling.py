@@ -416,15 +416,17 @@ Round-1 flagged a 17.6× spread between the driver's recorded bench
 (8,061 turns/s), a judge re-run (36,395) and this file's 2M-turn table
 (141,554): all were single-window samples on a host whose DRAM
 bandwidth drifts 5-30× across minutes. bench.py measures the headline
-scrub in three separate sequential JVMs (warm-up + 2 timed passes each,
-overall best of 6) with numpy bandwidth probes recorded before/after,
-the resident session stopped during the workers, and — since round 3 —
-each JVM launch GATED on a ≥2 GB/s probe (bounded wait, all probes
-recorded as scrub_bw_probes) so a collapsed window can no longer seed
-the sample pool the way BENCH_r02's 0.24 GB/s first JVM did.
-Two consecutive round-2 bench.py runs at sf0.1/local[32]/250k turns
-measured 142,046 and 159,337 turns/s (ratio 1.12, criterion ≤ 1.5×),
-both within 13% of the 2M-turn table.
+scrub in three separate sequential JVMs (warm-up + 3 timed passes each,
+overall best of 9), the resident session stopped during the workers,
+and — since round 3 — each JVM launch is GATED on a ≥2 GB/s probe AND
+the worker re-probes immediately before every timed pass (one bounded
+retry; all probes recorded as scrub_bw_probes), so a collapsed window
+can no longer seed the sample pool the way BENCH_r02's 0.24 GB/s first
+JVM did. Two consecutive round-2 bench.py runs at sf0.1/local[32]/250k
+turns measured 142,046 and 159,337 turns/s (ratio 1.12, criterion ≤
+1.5×); the round-3 harness measured 125,439 turns/s during a largely
+collapsed evening window (probe trail in BENCH_r03 extras) — within
+1.27× of that band.
 """
         )
     print("wrote /root/repo/BENCH/BASELINE.md")
