@@ -7,9 +7,11 @@ SF's documents, plus representative operators from SURVEY.md §2.
 Reproducibility (round-1 verdict): this host's DRAM bandwidth drifts
 5-30× across minutes (BENCH/BASELINE.md probes), so the HEADLINE scrub
 number is measured in THREE SEPARATE sequential JVMs (each: warm-up +
-2 timed passes; overall best taken) with an independent numpy bandwidth
-probe recorded alongside — the probe lets a reader normalize any
-remaining drift. Secondary queries stay in-JVM best-of-2 (they are
+3 timed passes; overall best of 9). Each JVM launch waits (bounded) for
+a healthy-bandwidth window and the worker re-probes immediately before
+every timed pass (one bounded retry) — every probe is recorded in
+``scrub_bw_probes`` so a reader can audit which samples started in
+collapsed windows. Secondary queries stay in-JVM best-of-2 (they are
 small and not graded as the headline).
 
 Env:
@@ -60,19 +62,23 @@ def full_pass():
                F.sum("ppl")).collect()
 import numpy as _np
 def _probe():
+    # 200MB read + 200MB result write per iteration = 0.4 GB traffic
+    # (same unit as the launcher's _bandwidth_probe_gbps)
     a = _np.zeros(200_000_000 // 8); t0 = time.time(); k = 0
     while time.time() - t0 < 0.5:
         _ = a * 1.000001; k += 1
-    return round(k * 0.2 / (time.time() - t0), 2)
+    return round(k * 0.4 / (time.time() - t0), 2)
 full_pass()  # warm-up: worker spawn, imports, codegen JIT
 times, probes = [], []
 for _ in range(3):
     # probe at the timing moment (the pre-launch gate is minutes stale
-    # by now on this drifting host); one bounded retry per pass
+    # by now on this drifting host); one bounded retry per pass, BOTH
+    # readings recorded (the trail must show collapsed starts)
     bw = _probe()
-    if bw < 2.0:
-        time.sleep(15); bw = _probe()
     probes.append(bw)
+    if bw < 2.0:
+        time.sleep(15)
+        probes.append(_probe())
     t0 = time.time(); full_pass(); times.append(round(time.time() - t0, 3))
 print("BENCHJSON" + json.dumps({"times": times, "probes": probes}))
 spark.stop()

@@ -97,8 +97,12 @@ def test_asof_count_prunes_window_but_payload_agg_keeps_it(spark):
     left = spark.createDataFrame([(1, 10, 0)], "k int, t int, lid int")
     right = spark.createDataFrame([(1, 5, 1.0)], "k int, t int, v double")
     out = asof_join(left, right, by="k", on="t", value_cols=["v"])
-    count_plan = out.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
-    agg_plan = out.agg(F.sum("v_asof"))._jdf.queryExecution().optimizedPlan().toString()
+    count_plan = (
+        out.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+    )
+    agg_plan = (
+        out.agg(F.sum("v_asof"))._jdf.queryExecution().executedPlan().toString()
+    )
     assert "Window" not in count_plan
     assert "Window" in agg_plan
 

@@ -35,7 +35,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 _ARGS = [a for a in sys.argv[1:] if a != "--reuse"]
-SF_DIR = _ARGS[0] if _ARGS else "/root/testdata/sf0.1"
+# normpath so "sf0.1/" and "sf0.1" share one history bucket
+SF_DIR = os.path.normpath(_ARGS[0]) if _ARGS else "/root/testdata/sf0.1"
 # 400 turns/doc → 2M turns at sf0.1: large enough that the ~1s fixed
 # per-job cost (planning/codegen/job setup) is amortized.
 TPD = int(_ARGS[1]) if len(_ARGS) > 1 else 400
@@ -144,23 +145,9 @@ def _bw_probe(_n):
     return k * 0.4
 
 
-def _single_probe_gbps() -> float:
-    t0 = time.time()
-    total = _bw_probe(0)
-    return round(total / (time.time() - t0), 2)
-
-
-def gate_on_bandwidth(probes: list[float], healthy: float = 2.0,
-                      max_waits: int = 6) -> None:
-    """Wait (bounded) for a healthy DRAM window before launching a
-    level's JVM; record every probe for the report."""
-    for i in range(max_waits):
-        bw = _single_probe_gbps()
-        probes.append(bw)
-        if bw >= healthy:
-            return
-        if i < max_waits - 1:
-            time.sleep(20)
+# single-process probe + bounded wait shared with bench.py — one
+# implementation, one unit (0.4 GB of traffic per probe iteration)
+from bench import _wait_for_bandwidth_window  # noqa: E402
 
 
 def measure_bandwidth() -> dict[int, float]:
@@ -192,7 +179,7 @@ def load_history() -> list[dict]:
 
 def compatible(entry: dict, metric: str) -> bool:
     return (
-        entry.get("sf") == SF_DIR
+        os.path.normpath(entry.get("sf", "")) == SF_DIR
         and entry.get("tpd") == TPD
         and entry.get("versions", {}).get(metric) == VERSIONS[metric]
     )
@@ -247,9 +234,11 @@ def main() -> None:
         spark.stop()
 
     results = {}
-    probes: list[float] = []
+    probes: dict[str, list[float]] = {}
     for cpus in LEVELS:
-        gate_on_bandwidth(probes)
+        lvl_probes: list[float] = []
+        _wait_for_bandwidth_window(lvl_probes)
+        probes[str(cpus)] = lvl_probes
         out = subprocess.run(
             [sys.executable, "-c", WORKER, str(cpus), path],
             capture_output=True,
@@ -325,13 +314,17 @@ splits (128 files, maxPartitionBytes=8m).
 ## Methodology on a drifting host
 
 This host's DRAM bandwidth drifts 5-30× across minutes (probe table
-below; the gate probes this run: {probes}). A single generation's 2→8
-ratio is skewed by which window each level lands in (same-code
-generations measured 0.69-0.88), so each level's JVM launch is GATED on
-a ≥2 GB/s probe and every generation is appended to
-BENCH/scaling_history.jsonl; the headline efficiency is the MEDIAN
-across same-code generations, with per-generation values and
-best-per-level throughput shown for audit.
+below; this run's pre-launch probes per level: {probes}). A single
+generation's 2→8 ratio is skewed by which window each level lands in
+(same-code generations measured 0.69-0.88), so each level's JVM launch
+WAITS (bounded — after the wait budget it proceeds regardless, so a
+long collapse cannot deadlock the harness; the recorded probes show
+which launches still started collapsed) for a ≥2 GB/s window, and every
+generation is appended to BENCH/scaling_history.jsonl; the headline
+efficiency is the MEDIAN across same-code generations, with
+per-generation values and best-per-level throughput shown for audit —
+the median is what absorbs the launches that never got a healthy
+window.
 
 ## This generation
 
@@ -363,7 +356,9 @@ join (candidates only; bucket-size capped), warm-up + best-of-2.
 | local[32] (16×)| {r32['minhash_wall']} | {r32['minhash_rows_per_sec']:,} | {r32['minhash_pairs']:,} |
 
 MinHash 2→8 efficiency per generation: {fmt_list(effs['minhash']['2_8'])}
-→ median {med['minhash']['2_8']} over {n_gens['minhash']} generation(s).
+→ median {med['minhash']['2_8']} over {n_gens['minhash']} generation(s);
+best-per-level rows/s: {mb.get('2', 0):,.0f} · {mb.get('8', 0):,.0f} ·
+{mb.get('32', 0):,.0f}.
 Candidate generation is two hash aggregations + one bucket-equality
 join — no quadratic term below the bucket cap. MinHash is the most
 bandwidth-intensive stage here (it streams and xxhash64-shingles the
@@ -389,7 +384,9 @@ a bare count() lets column pruning drop the Window node entirely
 | local[32] (16×)| {r32['asof_wall']} | {r32['asof_rows_per_sec']:,} |
 
 As-of 2→8 efficiency per generation: {fmt_list(effs['asof']['2_8'])}
-→ median {med['asof']['2_8']} over {n_gens['asof']} generation(s).
+→ median {med['asof']['2_8']} over {n_gens['asof']} generation(s);
+best-per-level rows/s: {ab.get('2', 0):,.0f} · {ab.get('8', 0):,.0f} ·
+{ab.get('32', 0):,.0f}.
 
 ## Why 2→8 is the honest pair: this host has a hard memory-bandwidth wall
 
