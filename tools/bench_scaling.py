@@ -415,7 +415,7 @@ Round-1 flagged a 17.6× spread between the driver's recorded bench
 bandwidth drifts 5-30× across minutes. bench.py measures the headline
 scrub in three separate sequential JVMs (warm-up + 3 timed passes each,
 overall best of 9), the resident session stopped during the workers,
-and — since round 3 — each JVM launch is GATED on a ≥2 GB/s probe AND
+and — since round 3 — each JVM launch waits (bounded) for a ≥2 GB/s window AND
 the worker re-probes immediately before every timed pass (one bounded
 retry; all probes recorded as scrub_bw_probes), so a collapsed window
 can no longer seed the sample pool the way BENCH_r02's 0.24 GB/s first
