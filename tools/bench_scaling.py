@@ -421,9 +421,10 @@ retry; all probes recorded as scrub_bw_probes), so a collapsed window
 can no longer seed the sample pool the way BENCH_r02's 0.24 GB/s first
 JVM did. Two consecutive round-2 bench.py runs at sf0.1/local[32]/250k
 turns measured 142,046 and 159,337 turns/s (ratio 1.12, criterion ≤
-1.5×); the round-3 harness measured 125,439 turns/s during a largely
-collapsed evening window (probe trail in BENCH_r03 extras) — within
-1.27× of that band.
+1.5×); two consecutive round-3-harness runs measured 125,439 and
+119,275 turns/s (ratio 1.05) during a largely collapsed evening window
+(probe trails recorded) — within 1.27× of that band and tighter
+run-to-run than round 2's 1.12.
 """
         )
     print("wrote /root/repo/BENCH/BASELINE.md")
