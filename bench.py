@@ -35,6 +35,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TURNS_PER_DOC = int(os.environ.get("BENCH_TURNS_PER_DOC", "50"))
 HEADLINE_JVMS = int(os.environ.get("BENCH_HEADLINE_JVMS", "3"))
+# one threshold governs BOTH gates (launcher wait + in-worker pre-pass
+# probe) — the env knob is interpolated into the worker script below
+BW_HEALTHY_GBPS = float(os.environ.get("BENCH_BW_HEALTHY_GBPS", "2.0"))
+BW_MAX_WAITS = int(os.environ.get("BENCH_BW_MAX_WAITS", "8"))
 
 _SCRUB_WORKER = r"""
 import json, sys, time
@@ -76,13 +80,16 @@ for _ in range(3):
     # readings recorded (the trail must show collapsed starts)
     bw = _probe()
     probes.append(bw)
-    if bw < 2.0:
+    if bw < %(bw_healthy)s:
         time.sleep(15)
         probes.append(_probe())
     t0 = time.time(); full_pass(); times.append(round(time.time() - t0, 3))
 print("BENCHJSON" + json.dumps({"times": times, "probes": probes}))
 spark.stop()
-""" % {"repo": os.path.dirname(os.path.abspath(__file__))}
+""" % {
+    "repo": os.path.dirname(os.path.abspath(__file__)),
+    "bw_healthy": repr(BW_HEALTHY_GBPS),
+}
 
 
 def _bandwidth_probe_gbps() -> float:
@@ -96,10 +103,6 @@ def _bandwidth_probe_gbps() -> float:
         _ = a * 1.000001
         k += 1
     return round(k * 0.4 / (time.time() - t0), 2)
-
-
-BW_HEALTHY_GBPS = float(os.environ.get("BENCH_BW_HEALTHY_GBPS", "2.0"))
-BW_MAX_WAITS = int(os.environ.get("BENCH_BW_MAX_WAITS", "8"))
 
 
 def _wait_for_bandwidth_window(probes: list[float]) -> None:

@@ -352,6 +352,7 @@ def simhash_near_dup_pairs(
     max_bucket_size: int = 500,
     hash_fn: str = "xxhash64",
     chunk_bits: int = 16,
+    exact_recall: bool = False,
 ) -> DataFrame:
     """Candidate pairs via ``64/chunk_bits``-chunk banding, verified with
     bit_count(xor).
@@ -362,9 +363,26 @@ def simhash_near_dup_pairs(
     shape — 2^16 buckets per chunk keeps the within-bucket join linear;
     smaller chunks raise guaranteed-recall hamming at the cost of bigger
     buckets (8-bit chunks = 256 buckets/chunk: fine at oracle SF, NOT
-    the shape to run at 100 TB)."""
+    the shape to run at 100 TB).
+
+    ``exact_recall=True`` declares an oracle/small-SF run and silences
+    the misuse warning for settings (few wide chunks, effectively
+    uncapped bucket size) that would quadratically blow up at scale.
+    """
     if 64 % chunk_bits:
         raise ValueError("chunk_bits must divide 64")
+    if not exact_recall and (chunk_bits < 16 or max_bucket_size > 10_000):
+        import warnings
+
+        warnings.warn(
+            "simhash_near_dup_pairs called with oracle-grade settings "
+            f"(chunk_bits={chunk_bits}, max_bucket_size={max_bucket_size}): "
+            "few/wide chunks or an effectively-uncapped bucket size make the "
+            "within-bucket join quadratic at scale. Pass exact_recall=True "
+            "only for small-SF exact-recall runs; production should keep "
+            "chunk_bits>=16 and a real bucket cap.",
+            stacklevel=2,
+        )
     n_chunks = 64 // chunk_bits
     mask = (1 << chunk_bits) - 1
     sig = simhash(df, id_col, text_col, hash_fn=hash_fn)

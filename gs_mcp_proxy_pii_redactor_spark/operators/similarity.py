@@ -233,17 +233,28 @@ def train_ivf_centroids(
     (partitions × n_cells × dim)-value shuffle and a driver-side
     centroid update of n_cells × dim floats. Nothing in training scales
     with corpus size beyond the single sampling scan. Init is the
-    n_cells globally-smallest-hash rows (contained in the sample by
-    construction since every partition keeps its hash-minima).
+    n_cells globally-smallest-hash rows — contained in the sample by
+    construction PROVIDED sample_per_partition >= n_cells (each
+    partition keeps its n_cells smallest hashes, so the global n_cells
+    minima survive); sample_per_partition is therefore clamped up to
+    n_cells, and an undersized table (fewer sampled rows than n_cells)
+    raises rather than silently training a smaller model.
     Vectors and centroids are L2-normalized, so L2-argmin ==
     cosine-argmax (matches the engine's cosine semantics).
     """
-    sample = _ivf_training_sample(df, vec_col, seed, sample_per_partition)
+    sample = _ivf_training_sample(
+        df, vec_col, seed, max(int(sample_per_partition), int(n_cells))
+    )
     sample = sample.persist()
     try:
         init_rows = sample.orderBy("_h").limit(n_cells).collect()
         if not init_rows:
             raise ValueError("cannot train IVF centroids on an empty table")
+        if len(init_rows) < n_cells:
+            raise ValueError(
+                f"table has only {len(init_rows)} sampled rows but "
+                f"n_cells={n_cells}; lower n_cells to at most the corpus size"
+            )
         cents = np.asarray([r._v for r in init_rows], dtype=np.float64)
         cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
 

@@ -1540,6 +1540,7 @@ def q39_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_fn="md5",
             chunk_bits=8,
             max_bucket_size=1_000_000,  # exactness > blowup guard at oracle SF
+            exact_recall=True,  # declared oracle run (don't copy to prod)
         )
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")

@@ -535,6 +535,55 @@ def test_ivf_training_scale_shape(spark):
     assert np.allclose(c1, c2)
 
 
+def test_ivf_training_sample_guards(spark):
+    """Round-3 advice: spp < n_cells silently broke the smallest-hash
+    init containment — spp is clamped up to n_cells, and a table smaller
+    than n_cells raises instead of training a short model."""
+    import pytest
+
+    from gs_mcp_proxy_pii_redactor_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(6)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(4)
+
+    # spp=1 < n_cells=4: clamp keeps init containment → still 4 centroids
+    c = train_ivf_centroids(df, n_cells=4, iters=1, seed=7, sample_per_partition=1)
+    assert c.shape == (4, 6)
+
+    tiny = spark.createDataFrame(rows[:3], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="n_cells"):
+        train_ivf_centroids(tiny, n_cells=8, iters=1, seed=7)
+
+
+def test_simhash_oracle_settings_warn(spark, dup_docs):
+    """Round-3 verdict #8: oracle-grade settings (wide chunks / uncapped
+    buckets) must warn unless the caller declares exact_recall=True."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        simhash_near_dup_pairs(
+            dup_docs, "doc_id", "text", chunk_bits=8, max_bucket_size=1_000_000
+        )
+    assert any("exact_recall" in str(x.message) for x in w)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        simhash_near_dup_pairs(
+            dup_docs,
+            "doc_id",
+            "text",
+            chunk_bits=8,
+            max_bucket_size=1_000_000,
+            exact_recall=True,
+        )
+        simhash_near_dup_pairs(dup_docs, "doc_id", "text")  # prod defaults
+    assert not [x for x in w if "exact_recall" in str(x.message)]
+
+
 def test_q35_ivf_hits_subset_of_bruteforce(spark, sf_dir):
     """q35 evidence (rows-only driver entry): every IVF hit appears in
     the exact brute-force top-N for the same literal query with an

@@ -122,7 +122,9 @@ def test_write_transcripts_buckets(spark, transcripts, tmp_path):
     path = str(tmp_path / "bucketed")
     write_transcripts(transcripts, path, buckets=4)
     parts = [f for f in os.listdir(path) if f.startswith("part-")]
-    assert len(parts) == 4
+    # Spark writes no file for an empty hash partition, so a small
+    # fixture may fill fewer than `buckets` buckets — never more.
+    assert 0 < len(parts) <= 4
     out = spark.read.parquet(path)
     assert out.count() == transcripts.count()
     multi_file_convs = (
