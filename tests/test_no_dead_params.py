@@ -34,6 +34,7 @@ ALLOWED_UNUSED: set[tuple[str, str, str]] = {
     # driver query contract: every queries() entry takes (spark, sf_dir)
     # even when its input is synthesized (q34) or literal
     ("plans/queries.py", "q34_multimodal_features", "sf_dir"),
+    ("plans/queries.py", "q35_ivf_topk", "sf_dir"),
 }
 
 

@@ -213,8 +213,9 @@ def test_multimodal_real_decode_on_raw_payloads(spark):
 
 def test_q34_golden_matches_live(spark):
     """The embedded q34 golden rows (plans/q34_golden.py — the DuckDB
-    VALUES oracle) must track the live pipeline; regenerate with
-    tools/gen_q34_golden.py if synthesis/features legitimately change."""
+    VALUES oracle, recomputed Spark-free by tools/gen_q34_golden.py)
+    must equal the live pipeline; regenerate if synthesis/features
+    legitimately change."""
     from gs_mcp_proxy_pii_redactor_spark.plans.q34_golden import Q34_GOLDEN_ROWS
     from gs_mcp_proxy_pii_redactor_spark.plans.queries import (
         q34_multimodal_features,
@@ -585,27 +586,47 @@ def test_simhash_oracle_settings_warn(spark, dup_docs):
 
 
 def test_q35_ivf_hits_subset_of_bruteforce(spark, sf_dir):
-    """q35 evidence (rows-only driver entry): every IVF hit appears in
-    the exact brute-force top-N for the same literal query with an
-    IDENTICAL cos_sim, and the query lineage contains no driver-side
-    `.first()` row fetch (the query vector is a literal)."""
+    """IVF search evidence on REAL (sf) embeddings: every IVF hit
+    appears in the exact brute-force top-N for the same literal query
+    with an IDENTICAL cos_sim (q35 itself now runs on the synthesized
+    clustered table — this keeps the sf-table IVF path covered)."""
     from gs_mcp_proxy_pii_redactor_spark.operators.similarity import (
+        assign_ivf_cells,
         brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
     )
-    from gs_mcp_proxy_pii_redactor_spark.plans.queries import (
-        _Q35_QUERY,
-        q35_ivf_topk,
-    )
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import _Q35_QUERY
     from gs_mcp_proxy_pii_redactor_spark.sources.catalog import read_table
 
-    ivf = {(r.vec_id, r.cos_sim) for r in q35_ivf_topk(spark, sf_dir).collect()}
     emb = read_table(spark, sf_dir, "embeddings")
+    # sf embeddings are 64-dim; tile the 32-dim literal deterministically
+    q64 = (_Q35_QUERY + _Q35_QUERY)[:64]
+    cents = train_ivf_centroids(emb, n_cells=8, iters=3, seed=42)
+    assigned = assign_ivf_cells(emb, cents)
+    ivf = {
+        (r.vec_id, r.cos_sim)
+        for r in ivf_topk(assigned, cents, q64, k=10, nprobe=3).collect()
+    }
     exact = {
         (r.vec_id, r.cos_sim)
-        for r in brute_force_topk(emb, _Q35_QUERY, k=50).collect()
+        for r in brute_force_topk(emb, q64, k=50).collect()
     }
     assert len(ivf) == 10
     assert ivf <= exact
+
+
+def test_q35_golden_matches_live(spark):
+    """The embedded q35 golden rows (plans/q35_golden.py — the DuckDB
+    VALUES oracle, generated by an INDEPENDENT pure-numpy brute-force
+    top-k in tools/gen_q35_golden.py) must equal the live IVF query
+    exactly: planted-cluster geometry ⇒ IVF recall 1 ⇒ the approximate
+    path must return the exact answer, bit-for-bit after rounding."""
+    from gs_mcp_proxy_pii_redactor_spark.plans.q35_golden import Q35_GOLDEN_ROWS
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import q35_ivf_topk
+
+    rows = [(r.vec_id, r.cos_sim) for r in q35_ivf_topk(spark, "").collect()]
+    assert rows == [tuple(t) for t in Q35_GOLDEN_ROWS]
 
 
 def test_minhash_signature_paths_agree_on_candidates(spark, dup_docs):
