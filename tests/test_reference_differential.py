@@ -8,7 +8,8 @@ byte-for-byte with the Python kernel over a diverse generated corpus
 unicode/emoji/astral, real document texts with injected PII).
 
 Skipped when Node or the reference checkout is unavailable. Last full
-run: 14,316 inputs, 0 mismatches.
+run: 13,216 inputs (13,200 seeded-random generated across 8 adversarial
+families + the golden cases), 0 mismatches.
 """
 
 import json
@@ -81,24 +82,63 @@ def _build_corpus() -> tuple[list[str], list[str]]:
 
     inputs = list(GOLDEN_INPUTS)
     alpha = list("abcdefgh XYZ0123456789@+-.()x_,!?:\n\t'\"/=%$#romariodoechieh")
-    for _ in range(2000):
+    for _ in range(4000):
         inputs.append("".join(rng.choice(alpha) for _ in range(rng.randint(0, 60))))
-    for _ in range(700):
+    for _ in range(2000):
         n = rng.randint(8, 25)
         inputs.append(
             rng.choice(["", "a", "+", " ", "00"])
             + "".join(rng.choice("0123456789 -.()") for _ in range(n))
             + rng.choice(["", ".", "x", "b", " or"])
         )
-    for _ in range(700):
+    for _ in range(2000):
         inputs.append(
             "".join(rng.choice("ab.c_+-@ ") for _ in range(rng.randint(3, 30)))
             + rng.choice(["@example.com", ".@x.io", "@x.y", ""])
         )
     uni = list("héllo wörld 中文 русский 😀🚀👍 ñ ü ß Ωμ")
-    for _ in range(700):
+    for _ in range(2000):
         inputs.append(
             "".join(rng.choice(uni + alpha) for _ in range(rng.randint(0, 40)))
+        )
+    # round-3 verdict #6 — denser adversarial families:
+    # dense digit walls (long runs where the phone scanner restarts
+    # mid-run; separators sprinkled at random offsets)
+    for _ in range(800):
+        n = rng.randint(20, 200)
+        s = "".join(rng.choice("0123456789") for _ in range(n))
+        for _ in range(rng.randint(0, 6)):
+            p = rng.randrange(len(s))
+            s = s[:p] + rng.choice(" -.()+x") + s[p:]
+        inputs.append(s)
+    # adversarial +/@ clusters — the scanners' trigger characters packed
+    # together, interleaved with digits and dots
+    for _ in range(800):
+        inputs.append(
+            "".join(
+                rng.choice("+@+@..--(0)19 a") for _ in range(rng.randint(1, 50))
+            )
+        )
+    # astral-plane-heavy strings: surrogate pairs make JS string indices
+    # (UTF-16 units) diverge from Python's code points — splice offsets
+    # around emoji must still agree byte-for-byte
+    astral = list("😀🚀👍🧪🌍💳") + ["𝔘", "𝕊", "🏳️‍🌈"]
+    for _ in range(800):
+        inputs.append(
+            "".join(
+                rng.choice(astral + alpha + ["555-867-5309", "a@b.co"])
+                for _ in range(rng.randint(1, 30))
+            )
+        )
+    # dictionary words embedded in case-mangled context (CI whole-word
+    # matching across boundaries)
+    words = ["romario", "GARYPRATT", "John DOE", "o'BRIEN", "test-user", "a b c"]
+    for _ in range(800):
+        inputs.append(
+            rng.choice(["", "x", "-", "'"])
+            + rng.choice(words)
+            + rng.choice(["", "s", "-x", "'t", " doe"])
+            + rng.choice(["", " +1 650 555 1234", " x@y.zz"])
         )
     return dictionary, inputs
 
@@ -115,6 +155,9 @@ def test_python_kernel_matches_reference_js(tmp_path):
     (harness / "run.js").write_text(RUN_JS)
 
     dictionary, inputs = _build_corpus()
+    # corpus-size floor: the 0-mismatch claim must keep covering a large
+    # GENERATED corpus, not just curated cases (round-3 verdict #6)
+    assert len(inputs) >= 13_000, len(inputs)
     inp = harness / "in.jsonl"
     with open(inp, "w") as f:
         f.write(json.dumps(dictionary) + "\n")
