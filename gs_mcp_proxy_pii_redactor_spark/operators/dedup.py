@@ -67,14 +67,28 @@ def shingles(text_col: str | Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(base_hash_col: Column, num_perm: int = 64) -> Column:
-    """array<bigint> of per-permutation min hashes.
+def minhash_signature(
+    base_hash_col: Column, num_perm: int = 64, sig_bits: int = 64
+) -> Column:
+    """array<bigint> (or array<int> with ``sig_bits=32``) of
+    per-permutation min hashes.
 
     ``base_hash_col`` is array<bigint> — each shingle STRING hashed once
     (the expensive part); permutations re-hash the 8-byte base value
     (``xxhash64(h, seed)``), which is ~free by comparison. Avoids 64
     full-string hashing passes per row.
+
+    ``sig_bits=32`` keeps the top 32 bits of each 64-bit minimum
+    (``h >> 32`` — arithmetic shift fits the int range exactly; a
+    low-bits mask would ANSI-overflow the cast). The argmin element is
+    identical, so two docs agree on a truncated component iff they agree
+    on the full one (up to a 2^-32 collision) — Jaccard estimation at 64
+    permutations is unaffected, while the signature halves its bytes:
+    the DRAM-traffic experiment behind BENCH/BASELINE.md's MinHash
+    scaling attribution (round-3 verdict #3).
     """
+    if sig_bits not in (32, 64):
+        raise ValueError("sig_bits must be 32 or 64")
     # NB: the per-permutation rehash lambda must take EXACTLY ONE
     # parameter — PySpark treats a two-parameter lambda (including one
     # with a default, e.g. ``lambda h, i=i``) as (element, array_index),
@@ -82,15 +96,17 @@ def minhash_signature(base_hash_col: Column, num_perm: int = 64) -> Column:
     def _perm(i: int):
         return lambda h: F.xxhash64(F.lit(i), h)
 
-    return F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(base_hash_col, _perm(i))),
-                F.lit(-(2**62) + i),  # empty docs: distinct sentinel per perm
+    def _component(i: int) -> Column:
+        m = F.array_min(F.transform(base_hash_col, _perm(i)))
+        if sig_bits == 32:
+            # truncate BEFORE the empty-doc coalesce so the sentinel
+            # stays distinct per permutation after narrowing
+            return F.coalesce(
+                F.shiftright(m, 32).cast("int"), F.lit(-(2**30) + i)
             )
-            for i in range(num_perm)
-        ]
-    )
+        return F.coalesce(m, F.lit(-(2**62) + i))
+
+    return F.array(*[_component(i) for i in range(num_perm)])
 
 
 def make_minhash_signature_udf(num_perm: int = 64, seed: int = 7):
@@ -153,6 +169,7 @@ def minhash_candidate_pairs(
     threshold: float = 0.5,
     max_bucket_size: int = 200,
     jvm_signatures: bool = True,
+    sig_bits: int = 64,
 ) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard ≥ threshold.
 
@@ -163,7 +180,14 @@ def minhash_candidate_pairs(
     (make_minhash_signature_udf) — measured SLOWER on this
     bandwidth-constrained host (see that function's docstring for the
     numbers); the pure-JVM xxhash64 rehash per permutation is default.
+
+    ``sig_bits=32`` narrows signature components to int (identical
+    candidate pairs and estimates up to 2^-32 truncation collisions;
+    half the signature bytes through persist/shuffle — see
+    minhash_signature). Only the JVM signature path supports it.
     """
+    if sig_bits != 64 and not jvm_signatures:
+        raise ValueError("sig_bits=32 requires jvm_signatures=True")
     rows_per_band = num_perm // bands
     # Two-step projection: shingle strings hashed ONCE (the expensive
     # scan), then cheap long-rehash permutations. Kept as separate
@@ -175,7 +199,7 @@ def minhash_candidate_pairs(
         ),
     )
     if jvm_signatures:
-        sig_col = minhash_signature(F.col("_bh"), num_perm)
+        sig_col = minhash_signature(F.col("_bh"), num_perm, sig_bits=sig_bits)
     else:
         sig_col = make_minhash_signature_udf(num_perm)(F.col("_bh"))
     sig = hashed.select("_id", sig_col.alias("_sig"))

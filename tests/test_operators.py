@@ -642,6 +642,55 @@ def test_minhash_signature_paths_agree_on_candidates(spark, dup_docs):
         assert (0, 1) in got and (0, 5) in got, jvm
 
 
+def test_minhash_32bit_signatures_match_64bit(spark, dup_docs):
+    """sig_bits=32 truncates each per-permutation minimum (same argmin
+    element) — candidate pairs AND estimates must be identical to the
+    64-bit path, the signature schema must actually narrow to
+    array<int>, and the invalid combination must raise."""
+    import pytest
+
+    from gs_mcp_proxy_pii_redactor_spark.operators.dedup import (
+        minhash_signature,
+        shingles,
+        unpersist_minhash_cache,
+    )
+
+    res = {}
+    for bits in (64, 32):
+        pairs = minhash_candidate_pairs(
+            dup_docs, "doc_id", "text", threshold=0.4, sig_bits=bits
+        )
+        res[bits] = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.collect()}
+        unpersist_minhash_cache(pairs)
+    assert res[32] == res[64]
+
+    hashed = dup_docs.select(
+        F.transform(shingles("text", 3), lambda s: F.xxhash64(s)).alias("_bh")
+    )
+    narrow = hashed.select(minhash_signature(F.col("_bh"), 8, sig_bits=32))
+    assert "array<int>" in narrow.dtypes[0][1]
+    wide = hashed.select(minhash_signature(F.col("_bh"), 8))
+    assert "array<bigint>" in wide.dtypes[0][1]
+
+    # empty docs keep DISTINCT per-permutation sentinels after narrowing
+    empty = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    sig = (
+        empty.select(
+            minhash_signature(
+                F.transform(shingles("text", 3), lambda s: F.xxhash64(s)), 8, sig_bits=32
+            ).alias("s")
+        )
+        .first()
+        .s
+    )
+    assert len(set(sig)) == 8
+
+    with pytest.raises(ValueError, match="jvm_signatures"):
+        minhash_candidate_pairs(
+            dup_docs, "doc_id", "text", sig_bits=32, jvm_signatures=False
+        )
+
+
 def test_asof_join_null_payload_not_stitched(spark):
     """Regression (round-2 review): a NULL-valued right row must win the
     match as a WHOLE row — the timestamp and payload may never come from

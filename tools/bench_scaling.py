@@ -45,7 +45,7 @@ LEVELS = (2, 8, 32)
 # Bump a metric's version whenever its timed path changes — history
 # entries only merge with matching versions (asof: v1 counted a plan
 # where count() pruned the Window; v3 = agg-forced payload + 4× input).
-VERSIONS = {"pipeline": 1, "minhash": 1, "asof": 3}
+VERSIONS = {"pipeline": 1, "minhash": 1, "minhash32": 1, "asof": 3, "conv": 1}
 HIST_PATH = "/root/repo/BENCH/scaling_history.jsonl"
 
 WORKER = r"""
@@ -98,6 +98,38 @@ for _ in range(2):
     t0 = time.time(); minhash_pass(); mtimes.append(time.time() - t0)
 mbest = min(mtimes)
 
+# Same sample, 32-bit signatures — the halved-signature-traffic
+# experiment behind the MinHash DRAM-wall attribution (round-3 verdict
+# #3): if the sub-0.8 scaling is the memory wall, halving the bytes the
+# signature stages stream should move the 2→8 ratio toward 1.
+def minhash32_pass():
+    pairs = minhash_candidate_pairs(ids, "row_id", "text", threshold=0.5,
+                                    sig_bits=32)
+    c = pairs.count()
+    unpersist_minhash_cache(pairs)
+    return c
+n_pairs32 = minhash32_pass()  # warm-up
+m32times = []
+for _ in range(2):
+    t0 = time.time(); minhash32_pass(); m32times.append(time.time() - t0)
+m32best = min(m32times)
+
+# Salted two-phase conv_stats rollup — the remaining shuffle-bearing
+# branch with no N→4N evidence (round-3 verdict #4). Narrow input
+# mirrors run_job's pruned read-back of the written result.
+from gs_mcp_proxy_pii_redactor_spark.plans.job import conv_stats
+cs_in = tdf.select("conv_id", "turn_idx",
+                   (F.length("text") > 80).alias("keep"),
+                   F.length("text").alias("n_chars"))
+def conv_pass():
+    return conv_stats(cs_in, salt=8).agg(
+        F.sum("n_turns"), F.sum("n_keep"), F.count("*")).collect()
+conv_pass()  # warm-up
+ctimes = []
+for _ in range(2):
+    t0 = time.time(); conv_pass(); ctimes.append(time.time() - t0)
+cbest = min(ctimes)
+
 # As-of join at 4× bench scale (newest shuffle-bearing operator — the
 # keyed-window sort is the term the tiny q33 input never exercised).
 # Input is replicated with distinct conv keys (no artificial hot key);
@@ -125,6 +157,13 @@ print(json.dumps({"cpus": cpus, "rows": n, "times": [round(t, 2) for t in times]
                   "minhash_wall": round(mbest, 3), "minhash_times": [round(t,2) for t in mtimes],
                   "minhash_rows": n_sample,
                   "minhash_rows_per_sec": round(n_sample / mbest, 1), "minhash_pairs": n_pairs,
+                  "minhash32_wall": round(m32best, 3),
+                  "minhash32_times": [round(t,2) for t in m32times],
+                  "minhash32_rows_per_sec": round(n_sample / m32best, 1),
+                  "minhash32_pairs": n_pairs32,
+                  "conv_wall": round(cbest, 3),
+                  "conv_times": [round(t,2) for t in ctimes],
+                  "conv_rows_per_sec": round(n / cbest, 1),
                   "asof_wall": round(abest, 3), "asof_times": [round(t,2) for t in atimes],
                   "asof_rows": n_asof,
                   "asof_rows_per_sec": round(n_asof / abest, 1)}))
@@ -166,6 +205,8 @@ def measure_bandwidth() -> dict[int, float]:
 METRICS = {
     "pipeline": "rows_per_sec",
     "minhash": "minhash_rows_per_sec",
+    "minhash32": "minhash32_rows_per_sec",
+    "conv": "conv_rows_per_sec",
     "asof": "asof_rows_per_sec",
 }
 
@@ -284,6 +325,8 @@ def main() -> None:
         "eff_2_to_8_all": effs["pipeline"]["2_8"],
         "eff_8_to_32_median": med["pipeline"]["8_32"],
         "minhash_eff_2_to_8_median": med["minhash"]["2_8"],
+        "minhash32_eff_2_to_8_median": med["minhash32"]["2_8"],
+        "conv_eff_2_to_8_median": med["conv"]["2_8"],
         "asof_eff_2_to_8_median": med["asof"]["2_8"],
         "best_per_level": bests,
         "bandwidth_gbps": bwidth,
@@ -295,6 +338,7 @@ def main() -> None:
 
     r2, r8, r32 = results[2], results[8], results[32]
     pb, mb, ab = bests["pipeline"], bests["minhash"], bests["asof"]
+    cb = bests["conv"]
 
     def fmt_list(v):
         return ", ".join(f"{x:.3f}" for x in v) if v else "—"
@@ -367,6 +411,46 @@ hits the memory wall below 8 cores already — its sub-0.8 sandbox median
 is the same wall the pipeline only hits at 8→32, not a coordination
 term (the plan has no shuffle growth with N; per-node bandwidth on a
 real cluster restores the headroom).
+
+### The DRAM-wall attribution, measured (32-bit signature experiment)
+
+Round-3 verdict #3 asked for the attribution to become a measurement:
+``sig_bits=32`` halves the signature bytes every downstream stage
+streams (persist, band hashing, est-join) with provably identical
+candidates (tests/test_operators.py::test_minhash_32bit…). If the
+sub-0.8 ratio is the memory wall, the lighter variant's 2→8 ratio must
+sit closer to 1; a coordination/shuffle term would be unchanged.
+
+| parallelism | 64-bit wall (s) | 32-bit wall (s) |
+|---|---|---|
+| local[2]       | {r2['minhash_wall']} | {r2['minhash32_wall']} |
+| local[8]  (4×) | {r8['minhash_wall']} | {r8['minhash32_wall']} |
+| local[32] (16×)| {r32['minhash_wall']} | {r32['minhash32_wall']} |
+
+MinHash-32 2→8 efficiency per generation:
+{fmt_list(effs['minhash32']['2_8'])} → median {med['minhash32']['2_8']}
+over {n_gens['minhash32']} generation(s) (64-bit median
+{med['minhash']['2_8']} over {n_gens['minhash']}).
+
+## Salted conv_stats rollup (the remaining shuffle-bearing branch)
+
+Two-phase (conv_id, salt) partial agg → conv_id final agg
+(plans/job.py conv_stats, salt=8) over the same {r8['rows']:,} turns on
+a pruned 4-column input (run_job's read-back shape), warm-up +
+best-of-2. This is the branch whose shuffle actually grows with the
+corpus, so its N→4N pair is the shuffle-scaling evidence the round-3
+verdict asked for (#4).
+
+| parallelism | best wall (s) | rows/s |
+|---|---|---|
+| local[2]       | {r2['conv_wall']} | {r2['conv_rows_per_sec']:,} |
+| local[8]  (4×) | {r8['conv_wall']} | {r8['conv_rows_per_sec']:,} |
+| local[32] (16×)| {r32['conv_wall']} | {r32['conv_rows_per_sec']:,} |
+
+conv_stats 2→8 efficiency per generation: {fmt_list(effs['conv']['2_8'])}
+→ median {med['conv']['2_8']} over {n_gens['conv']} generation(s);
+best-per-level rows/s: {cb.get('2', 0):,.0f} · {cb.get('8', 0):,.0f} ·
+{cb.get('32', 0):,.0f}.
 
 ## As-of join at 4× scale
 
