@@ -14,6 +14,11 @@ lineage + metrics". Strategy (SURVEY.md §4.2 "Checkpoint/resume"):
 
 The manifest is itself a small Parquet table:
 (run_id, bucket, status, n_rows, n_keep, n_redacted, wrote_at).
+
+On a real cluster the wave write swaps to Iceberg's snapshot-atomic
+``writeTo(...).overwritePartitions()`` — see docs/CLUSTER.md §4; the
+SIGKILL e2e (tests/test_pipeline.py) exercises the Parquet emulation's
+torn-write recovery.
 """
 
 from __future__ import annotations

@@ -4,7 +4,8 @@ Production path is Iceberg (`spark.read.format("iceberg")` with hidden
 partitioning ``bucket(N, conv_id), days(ts)`` and snapshot pinning); this
 sandbox has no Iceberg runtime jar, so the adapter reads the same schema
 from Parquet directories — the downstream plan is identical either way
-(SURVEY.md §1.2).
+(SURVEY.md §1.2). First-real-cluster hand-off (runtime jar, catalog
+conf, bucket DDL, snapshot pinning): docs/CLUSTER.md.
 
 Dictionary loading mirrors the reference's GCS text-file reader
 (src/redaction/redaction.service.ts:148-172): newline-split, trimmed,
