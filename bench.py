@@ -11,8 +11,9 @@ number is measured in THREE SEPARATE sequential JVMs (each: warm-up +
 a healthy-bandwidth window and the worker re-probes immediately before
 every timed pass (one bounded retry) — every probe is recorded in
 ``scrub_bw_probes`` so a reader can audit which samples started in
-collapsed windows. Secondary queries stay in-JVM best-of-2 (they are
-small and not graded as the headline).
+collapsed windows. Secondary queries are in-JVM best-of-2 and (since
+round 4) probe-gated the same way, with per-query probe trails in
+``query_bw_probes``.
 
 Env:
   SPARK_GRAFT_SF_DIR   input SF dir (default /root/testdata/sf0.1)

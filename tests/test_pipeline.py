@@ -559,8 +559,9 @@ def test_run_dedup_cli(spark, sf_dir, tmp_path):
         "import run_dedup; "
         f"raise SystemExit(run_dedup.main(['--input', "
         f"{sf_dir + '/documents.parquet'!r}, '--output', {out!r}, "
-        f"'--pairs', {pairs!r}]))"
-    )
+        f"'--pairs', {pairs!r}, '--sig-bits', '32']))"
+    )  # --sig-bits 32: candidates identical to 64-bit (operator test)
+    # — running the CLI tier chain with it pins the wire-through
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=300,

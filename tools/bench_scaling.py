@@ -261,7 +261,11 @@ def main() -> None:
 
     from gs_mcp_proxy_pii_redactor_spark.sources import synthesize_transcripts
 
-    path = "/tmp/scaling_transcripts"
+    # Config-specific path: a generic cache path once let a tiny-sf
+    # smoke table be silently reused under sf0.1/tpd400 labels (the
+    # corrupt generation was scrubbed from history) — the input identity
+    # must be part of the path so --reuse can never mix configurations.
+    path = f"/tmp/scaling_transcripts_{os.path.basename(SF_DIR)}_tpd{TPD}"
     if not ("--reuse" in sys.argv and os.path.exists(f"{path}/_SUCCESS")):
         spark = (
             SparkSession.builder.master("local[8]")
