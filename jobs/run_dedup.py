@@ -43,6 +43,10 @@ def parse_args(argv):
     p.add_argument("--num-perm", type=int, default=64)
     p.add_argument("--bands", type=int, default=16)
     p.add_argument("--max-bucket-size", type=int, default=200)
+    p.add_argument("--sig-bits", type=int, default=64, choices=(32, 64),
+                   help="32 halves signature bytes through the persist/"
+                   "band/estimate stages with identical candidates "
+                   "(top-32-bit truncation; see operators/dedup.py)")
     p.add_argument("--skip-exact", action="store_true",
                    help="skip the exact-dedup tier")
     args = p.parse_args(argv)
@@ -98,6 +102,7 @@ def main(argv=None) -> int:
         bands=args.bands,
         threshold=max(0.0, args.jaccard - 0.25),
         max_bucket_size=args.max_bucket_size,
+        sig_bits=args.sig_bits,
     )
     verified = ngram_jaccard_pairs(
         base, cand.select("id_a", "id_b"), args.id_col, args.text_col,
