@@ -40,6 +40,10 @@ HEADLINE_JVMS = int(os.environ.get("BENCH_HEADLINE_JVMS", "3"))
 # probe) — the env knob is interpolated into the worker script below
 BW_HEALTHY_GBPS = float(os.environ.get("BENCH_BW_HEALTHY_GBPS", "2.0"))
 BW_MAX_WAITS = int(os.environ.get("BENCH_BW_MAX_WAITS", "8"))
+# The per-query gate has its own (smaller) wait budget: it fires once
+# per timed run of ~13 queries, so the launcher's 8-wait budget would
+# multiply into ~an hour of sleeping in a long collapsed window.
+QUERY_BW_MAX_WAITS = int(os.environ.get("BENCH_QUERY_BW_MAX_WAITS", "3"))
 
 _SCRUB_WORKER = r"""
 import json, sys, time
@@ -208,7 +212,9 @@ def run_bench(spark, sf_dir: str, turns_per_doc: int = TURNS_PER_DOC):
             bw = _bandwidth_probe_gbps()
             probes.append(bw)
             waits = 0
-            while bw < BW_HEALTHY_GBPS and waits < 3:
+            # shares the GB/s threshold with the launcher gate; the wait
+            # budget is its own env knob (see QUERY_BW_MAX_WAITS above)
+            while bw < BW_HEALTHY_GBPS and waits < QUERY_BW_MAX_WAITS:
                 time.sleep(15)
                 waits += 1
                 bw = _bandwidth_probe_gbps()

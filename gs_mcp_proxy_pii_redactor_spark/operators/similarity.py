@@ -148,12 +148,26 @@ def _synth_embedding_matrix(
     n_clusters) — no partition- or order-dependence — so a plain numpy
     recompute outside Spark reproduces the Spark table bit-for-bit.
     This is what makes q35's golden oracle independent
-    (tools/gen_q35_golden.py)."""
+    (tools/gen_q35_golden.py).
+
+    The perturbation is derived from INTEGER hashing (splitmix64-style
+    mix → top 53 bits → exact power-of-two scaling), not a libm
+    transcendental: every step is either exact integer arithmetic or an
+    IEEE-754 basic op, so the matrix is bit-stable across platforms and
+    numpy builds — a cross-host golden regeneration cannot flip a value
+    at a float32 or rounding boundary (round-4 advice)."""
     ids = np.asarray(ids, dtype=np.int64)
     centers = _synth_centers(dim, n_clusters)
-    j = np.arange(dim, dtype=np.float64)
-    phase = ids[:, None].astype(np.float64) * dim + j
-    pert = noise * np.sin(1.7 * phase + 0.5)
+    j = np.arange(dim, dtype=np.uint64)
+    k = ids[:, None].astype(np.uint64) * np.uint64(dim) + j
+    h = k * np.uint64(0x9E3779B97F4A7C15)  # uint64 ops wrap mod 2^64
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    # top 53 bits → [0,1) exactly (53-bit int → float64 is exact, and
+    # the 2^-53 scale is a power of two); 2u-1 → [-1,1)
+    u = (h >> np.uint64(11)).astype(np.float64) * (2.0**-53)
+    pert = noise * (2.0 * u - 1.0)
     return (centers[ids % n_clusters] + pert).astype(np.float32)
 
 

@@ -1,0 +1,235 @@
+"""Spec-coverage completeness audit (round-4 verdict #5).
+
+Enumerates every ``it(...)`` title in the reference's redaction-relevant
+jest suites (src/redaction/*.spec.ts + e2e/redaction.e2e-spec.ts) at
+test time and asserts each maps — via the explicit table below — to an
+existing pytest in this repo, or to an allowlisted N/A with a stated
+reason (transport/FS/DI-lifecycle mechanics that have no analogue in a
+batch Spark engine). Stale mapping rows (titles that no longer exist in
+the reference) also fail, so the table cannot rot in either direction.
+
+This is the completeness side of the parity claim; the correctness side
+is the ported assertions themselves plus the node differential
+(tests/test_reference_differential.py, 13k+ inputs, 0 mismatches).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+REF = "/root/reference"
+SPEC_FILES = {
+    "scanner-generic.spec.ts": f"{REF}/src/redaction/scanner-generic.spec.ts",
+    "matcher.spec.ts": f"{REF}/src/redaction/matcher.spec.ts",
+    "redaction.service.spec.ts": f"{REF}/src/redaction/redaction.service.spec.ts",
+    "audit-logger.spec.ts": f"{REF}/src/redaction/audit-logger.spec.ts",
+    "redaction.e2e-spec.ts": f"{REF}/e2e/redaction.e2e-spec.ts",
+}
+
+_IT_RE = re.compile(r"""\bit(?:\.each[^)]*\))?\(\s*(['"`])((?:[^\\]|\\.)*?)\1""")
+
+
+def _parse_titles() -> set[tuple[str, str]]:
+    out: set[tuple[str, str]] = set()
+    for name, path in SPEC_FILES.items():
+        with open(path, encoding="utf-8") as fh:
+            src = fh.read()
+        for m in _IT_RE.finditer(src):
+            out.add((name, m.group(2)))
+    return out
+
+
+def NA(reason: str) -> tuple[str, str]:
+    return ("N/A", reason)
+
+
+# (spec file, it-title) -> "test_file.py::test_function" | NA(reason).
+# Parameterized pytests cover several titles; that is deliberate — the
+# ported case TABLES in those files cite the spec line ranges they port.
+MAPPING: dict[tuple[str, str], str | tuple[str, str]] = {
+    # ---- scanner-generic.spec.ts -------------------------------------
+    ("scanner-generic.spec.ts", "should redact a simple email address"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should redact multiple email addresses"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should redact email with plus sign in local part"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should redact email with hyphen in local part"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should redact email with numbers"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should not redact invalid emails without dot in domain"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should not redact email with leading dot in local part"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should not redact email with trailing dot in local part"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should not redact email with consecutive dots in local part"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should handle empty string"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should return original string if no PII found"): "test_scanner.py::test_returns_same_object_when_clean",
+    ("scanner-generic.spec.ts", "should redact US phone number with separators"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should redact phone number with spaces"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should redact phone number with dots"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should redact formatted phone numbers"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should redact international phone with plus"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should redact phone number with country code"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should redact 10-digit phone number (minimum digits)"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should not redact numbers with too few digits"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should redact 15-digit phone number with separator"): "test_scanner.py::test_fifteen_digit_phone_with_plus",
+    ("scanner-generic.spec.ts", "should handle international phone numbers"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should handle phone with parentheses properly"): "test_scanner.py::test_parenthesized_phone_defined",
+    ("scanner-generic.spec.ts", "should not redact phone starting with letter"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should redact both email and phone in same text"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should redact multiple emails and phones"): "test_scanner.py::test_redact_multiple_emails_and_phones",
+    ("scanner-generic.spec.ts", "should handle complex text with multiple PII types"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should handle text with @ symbol but not email"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should handle text with + symbol but not phone"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should preserve surrounding whitespace"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should handle PII at start of string"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should handle PII at end of string"): "test_scanner.py::test_redact_generic",
+    ("scanner-generic.spec.ts", "should handle very long strings efficiently"): "test_scanner.py::test_very_long_string",
+    # ---- matcher.spec.ts ---------------------------------------------
+    ("matcher.spec.ts", "should create a matcher with valid dictionary"): "test_matcher.py::test_build_valid",
+    ("matcher.spec.ts", "should throw error with empty dictionary"): "test_matcher.py::test_build_empty_raises",
+    ("matcher.spec.ts", "should redact a single matching term"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should redact multiple matching terms"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should perform case-insensitive matching"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should match whole words only"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should handle word boundaries correctly with punctuation"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should handle word boundaries with hyphens and spaces"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should redact multiple occurrences of same term"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should handle overlapping matches by merging intervals"): "test_matcher.py::test_overlapping_multiword_merge",
+    ("matcher.spec.ts", "should return original text if no matches found"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should handle empty string"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should handle text with only the matching term"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should handle text starting with matching term"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should handle text ending with matching term"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should handle multi-word terms"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should handle terms with special characters"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should merge adjacent matches"): "test_matcher.py::test_adjacent_touching_intervals_merge",
+    ("matcher.spec.ts", "should handle large dictionary efficiently"): "test_matcher.py::test_large_dictionary",
+    ("matcher.spec.ts", "should handle long text efficiently"): "test_matcher.py::test_long_text",
+    ("matcher.spec.ts", "should handle text with numbers and underscores as word boundaries"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should handle consecutive terms with different cases"): "test_matcher.py::test_redact",
+    ("matcher.spec.ts", "should not match partial words in compound words"): "test_matcher.py::test_redact",
+    # ---- redaction.service.spec.ts -----------------------------------
+    ("redaction.service.spec.ts", "should initialize successfully with valid dictionary"): "test_service_spec.py::test_dictionary_load_parity",
+    ("redaction.service.spec.ts", "should only initialize once"): NA(
+        "NestJS DI singleton lifecycle: the Spark job builds the Matcher "
+        "exactly once on the driver and broadcasts it (functions/udfs.py) "
+        "— there is no lazy re-init surface to test"
+    ),
+    ("redaction.service.spec.ts", "should throw error if MCP_PROXY_GCS_BUCKET is not set"): NA(
+        "GCS bucket env wiring is proxy deployment infrastructure; the "
+        "rebuild loads the dictionary from an explicit path/catalog "
+        "(sources/catalog.py) where a missing source fails the Spark read"
+    ),
+    ("redaction.service.spec.ts", "should throw error if service account is not set"): "test_nested_and_config.py::test_service_account_empty_and_errors",
+    ("redaction.service.spec.ts", "should auto-initialize if not initialized"): NA(
+        "NestJS DI lazy-getter lifecycle — no analogue in a batch job "
+        "whose matcher is constructed eagerly at plan build"
+    ),
+    ("redaction.service.spec.ts", "should return error if initialization failed"): NA(
+        "NestJS DI error-memoization lifecycle — batch jobs fail the run "
+        "instead of memoizing an error for later RPCs"
+    ),
+    ("redaction.service.spec.ts", "should return original data if config is null"): "test_service_spec.py::test_null_config",
+    ("redaction.service.spec.ts", "should return original data if config is undefined"): "test_service_spec.py::test_null_config",
+    ("redaction.service.spec.ts", "should return original data if redaction is disabled"): "test_service_spec.py::test_disabled",
+    ("redaction.service.spec.ts", "should return original data if matcher is not initialized"): "test_service_spec.py::test_no_matcher",
+    ("redaction.service.spec.ts", "should redact all strings when no keys specified"): "test_service_spec.py::test_redact_all_no_keys",
+    ("redaction.service.spec.ts", "should redact all strings when keys is empty array"): "test_service_spec.py::test_redact_all_empty_keys",
+    ("redaction.service.spec.ts", "should redact only specified keys"): "test_service_spec.py::test_keys_selected_only",
+    ("redaction.service.spec.ts", "should handle nested objects when redacting all strings"): "test_service_spec.py::test_nested_all",
+    ("redaction.service.spec.ts", "should handle nested objects when redacting by keys"): "test_service_spec.py::test_nested_by_keys",
+    ("redaction.service.spec.ts", "should handle arrays when redacting all strings"): "test_service_spec.py::test_arrays_all",
+    ("redaction.service.spec.ts", "should handle arrays when redacting by keys"): "test_service_spec.py::test_arrays_by_keys",
+    ("redaction.service.spec.ts", "should handle arrays of objects when redacting all strings"): "test_service_spec.py::test_arrays_of_objects",
+    ("redaction.service.spec.ts", "should handle arrays of objects when redacting by keys"): "test_service_spec.py::test_arrays_of_objects_by_keys",
+    ("redaction.service.spec.ts", "should redact generic PII (emails, phones) before dictionary terms"): "test_service_spec.py::test_generic_before_dictionary",
+    ("redaction.service.spec.ts", "should handle non-string values correctly"): "test_service_spec.py::test_non_string_values",
+    ("redaction.service.spec.ts", "should handle deeply nested structures"): "test_service_spec.py::test_deeply_nested",
+    ("redaction.service.spec.ts", "should handle mixed arrays and objects"): "test_service_spec.py::test_mixed_arrays_objects",
+    ("redaction.service.spec.ts", "should handle keys at different nesting levels"): "test_service_spec.py::test_keys_at_all_levels",
+    ("redaction.service.spec.ts", "should redact nested values when key matches"): "test_service_spec.py::test_key_match_redacts_subtree",
+    ("redaction.service.spec.ts", "should decode base64 service account"): "test_nested_and_config.py::test_service_account_b64_wins",
+    ("redaction.service.spec.ts", "should handle private key with escaped newlines"): "test_nested_and_config.py::test_service_account_raw_newline_normalization",
+    # ---- audit-logger.spec.ts ----------------------------------------
+    ("audit-logger.spec.ts", "should create audit directory on initialization"): NA(
+        "local-FS side effect: the Spark analogue emits an audit TABLE "
+        "(plans/job.py audit_frame) — no directory lifecycle exists"
+    ),
+    ("audit-logger.spec.ts", "should throw error if directory creation fails"): NA(
+        "local-FS side effect (see directory-creation row)"
+    ),
+    ("audit-logger.spec.ts", "should return empty string if config is null"): "test_audit.py::test_gate_null_config",
+    ("audit-logger.spec.ts", "should return empty string if config is undefined"): "test_audit.py::test_gate_null_config",
+    ("audit-logger.spec.ts", "should return empty string if verboseAudit is false"): "test_audit.py::test_gate_verbose_false",
+    ("audit-logger.spec.ts", "should write audit files when verboseAudit is enabled"): "test_audit.py::test_writes_two_files_and_returns_op_id",
+    ("audit-logger.spec.ts", "should generate correct file names for pre and post files"): "test_audit.py::test_writes_two_files_and_returns_op_id",
+    ("audit-logger.spec.ts", "should write JSON data with proper formatting"): "test_audit.py::test_writes_two_files_and_returns_op_id",
+    ("audit-logger.spec.ts", "should handle different operation types"): "test_audit.py::test_operation_types_in_names",
+    ("audit-logger.spec.ts", "should handle resource_call operation type"): "test_audit.py::test_operation_types_in_names",
+    ("audit-logger.spec.ts", "should write files with correct mode"): NA(
+        "POSIX file-mode bits are a local-FS mechanic; sink permissions "
+        "belong to warehouse/object-store ACLs on a cluster"
+    ),
+    ("audit-logger.spec.ts", "should parse JSON strings"): "test_audit.py::test_parses_json_strings",
+    ("audit-logger.spec.ts", "should leave non-JSON strings as-is"): "test_audit.py::test_leaves_non_json_strings",
+    ("audit-logger.spec.ts", "should recursively enhance arrays"): "test_audit.py::test_recursively_enhances_arrays",
+    ("audit-logger.spec.ts", "should recursively enhance objects"): "test_audit.py::test_recursively_enhances_objects",
+    ("audit-logger.spec.ts", "should handle primitive values"): "test_audit.py::test_primitive_values_pass_through",
+    ("audit-logger.spec.ts", "should log error but not throw when writeFileSync fails"): NA(
+        "Node writeFileSync error swallowing is FS-specific; a Spark sink "
+        "failure must FAIL the task so the wave retries (exactly-once "
+        "contract, plans/job.py) — an intentionally different contract"
+    ),
+    ("audit-logger.spec.ts", "should handle write errors gracefully for both files"): NA(
+        "same intentional contract difference as the writeFileSync row"
+    ),
+    # ---- redaction.e2e-spec.ts ---------------------------------------
+    ("redaction.e2e-spec.ts", "uses Aho–Corasick automaton when available"): "test_matcher.py::test_fast_and_exact_paths_agree",
+    ("redaction.e2e-spec.ts", "redacts emails and phone numbers generically in plain strings"): "test_snapshot_parity.py::test_plain_string_generic",
+    ("redaction.e2e-spec.ts", "redacts by configured keys (and recursively traversed strings) using keys [description, text, href]"): "test_snapshot_parity.py::test_redact_by_keys_snapshot",
+    ("redaction.e2e-spec.ts", "when no keys are configured, redacts all strings"): "test_snapshot_parity.py::test_redact_all_strings_snapshot",
+    ("redaction.e2e-spec.ts", "returns original data when redaction disabled"): "test_snapshot_parity.py::test_disabled_returns_original",
+    ("redaction.e2e-spec.ts", "returns original data when matcher not initialized"): "test_snapshot_parity.py::test_no_matcher_returns_original",
+}
+
+
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present"
+)
+
+
+@needs_reference
+def test_every_reference_spec_case_is_mapped():
+    titles = _parse_titles()
+    assert titles, "no it() titles parsed — regex or spec layout changed"
+    unmapped = sorted(t for t in titles if t not in MAPPING)
+    assert not unmapped, f"unmapped reference spec cases: {unmapped}"
+    stale = sorted(k for k in MAPPING if k not in titles)
+    assert not stale, f"stale mapping rows (title gone from reference): {stale}"
+    # the suite must stay at least as large as when this audit was written
+    assert len(titles) >= 106, len(titles)
+
+
+@needs_reference
+def test_mapped_pytests_exist():
+    here = os.path.dirname(os.path.abspath(__file__))
+    srcs: dict[str, str] = {}
+    missing = []
+    for key, target in MAPPING.items():
+        if isinstance(target, tuple):  # NA(reason)
+            assert target[0] == "N/A" and len(target[1]) > 20, key
+            continue
+        fname, func = target.split("::")
+        if fname not in srcs:
+            with open(os.path.join(here, fname), encoding="utf-8") as fh:
+                srcs[fname] = fh.read()
+        if f"def {func}(" not in srcs[fname]:
+            missing.append(target)
+    assert not missing, f"mapping points at nonexistent pytests: {missing}"
+
+
+def test_na_allowlist_is_bounded():
+    """The N/A escape hatch must stay small and redaction-irrelevant:
+    every allowlisted case is FS/DI/transport mechanics, and their count
+    is pinned so new gaps can't silently ride the allowlist."""
+    nas = [k for k, v in MAPPING.items() if isinstance(v, tuple)]
+    assert len(nas) == 9, sorted(nas)

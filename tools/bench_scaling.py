@@ -3,9 +3,20 @@
 Sandbox substitute for the north rule's N→4N-executor criterion (no real
 cluster here — methodology in BENCH/BASELINE.md): the full scrub+filter
 pipeline over one identical materialized transcript table, in separate
-JVMs at local[2], local[8] and local[32], best-of-3 timed passes after a
-full warm-up pass (steady state — long-lived executors don't pay
-worker-spawn/JIT per job).
+JVMs per parallelism level, best-of-3 timed passes after a full warm-up
+pass (steady state — long-lived executors don't pay worker-spawn/JIT per
+job).
+
+Two execution modes (``--mode``):
+
+* ``local``          — ``local[N]`` threads in one JVM (the historical
+                       mode; all pre-round-5 history entries).
+* ``local-cluster``  — ``local-cluster[n,2,4096]``: n SEPARATE executor
+                       JVMs × 2 cores, real serialization + shuffle
+                       transport between processes. This is the closest
+                       sandbox analog of "N vs 4N executors" the north
+                       rule names, and the PRIMARY recorded evidence
+                       since round 5.
 
 This host's DRAM bandwidth drifts 5-30× across minutes (probes below),
 so a single generation's 2→8 ratio can be skewed by which window each
@@ -14,12 +25,31 @@ harness therefore:
 
 * gates each level's JVM launch on a healthy-bandwidth probe (bounded
   wait, probes recorded);
+* probes INSIDE the worker immediately before every timed pass of every
+  metric (bounded one-retry wait; full trail recorded);
 * appends every generation to BENCH/scaling_history.jsonl and reports
-  the MEDIAN per-pair efficiency across same-code generations (robust
-  to one level catching an outlier window) plus best-per-level
-  throughput as the machine's true-rate context.
+  the MEDIAN per-pair efficiency across same-code generations, both
+  UNCONDITIONED (all generations) and CONDITIONED on the pre-registered
+  inclusion rule below.
 
-Usage: python tools/bench_scaling.py [sf_dir] [turns_per_doc] [--reuse]
+PRE-REGISTERED INCLUSION RULE (round 5 — declared in this file BEFORE
+any round-5 generation ran; round-4 verdict #1). A generation's
+(metric, N→4N pair) efficiency sample QUALIFIES iff:
+
+  1. the pre-launch gate trail for BOTH levels of the pair ends at
+     >= HEALTHY_LAUNCH_GBPS (the launch actually got a healthy window,
+     not a wait-budget expiry), and
+  2. for that metric, the probe recorded immediately before EVERY timed
+     pass at BOTH levels is >= HEALTHY_WORKER_GBPS.
+
+Legacy entries (no in-worker probes) never qualify; they still feed the
+unconditioned median. The conditioned median answers "what does scaling
+look like when the host's memory wall stays out of the sample", which
+is the quantity a real cluster (per-node memory channels) would see.
+
+Usage:
+  python tools/bench_scaling.py [sf_dir] [tpd] [--reuse]
+         [--mode=local|local-cluster] [--levels=2,8,32] [--no-minhash32]
 Writes BENCH/BASELINE.md.
 """
 
@@ -34,13 +64,26 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-_ARGS = [a for a in sys.argv[1:] if a != "--reuse"]
+HEALTHY_LAUNCH_GBPS = 2.0  # rule term 1 — pre-launch gate (last probe)
+HEALTHY_WORKER_GBPS = 1.0  # rule term 2 — every pre-pass worker probe
+
+_FLAGS = [a for a in sys.argv[1:] if a.startswith("--")]
+_ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 # normpath so "sf0.1/" and "sf0.1" share one history bucket
 SF_DIR = os.path.normpath(_ARGS[0]) if _ARGS else "/root/testdata/sf0.1"
 # 400 turns/doc → 2M turns at sf0.1: large enough that the ~1s fixed
 # per-job cost (planning/codegen/job setup) is amortized.
 TPD = int(_ARGS[1]) if len(_ARGS) > 1 else 400
+MODE = "local"
+for f in _FLAGS:
+    if f.startswith("--mode="):
+        MODE = f.split("=", 1)[1]
+assert MODE in ("local", "local-cluster"), MODE
 LEVELS = (2, 8, 32)
+for f in _FLAGS:
+    if f.startswith("--levels="):
+        LEVELS = tuple(int(x) for x in f.split("=", 1)[1].split(","))
+SKIP_MINHASH32 = "--no-minhash32" in _FLAGS
 
 # Bump a metric's version whenever its timed path changes — history
 # entries only merge with matching versions (asof: v1 counted a plan
@@ -48,26 +91,73 @@ LEVELS = (2, 8, 32)
 # conv v1 measured a ~1s wall at local[8] — fixed job overhead was a
 # third of the sample and biased the ratio down; v2 runs the rollup at
 # 4× input (the asof `big` frame) so the walls amortize the overhead.
+# (The round-5 in-worker probes run BEFORE each timer starts — the timed
+# paths themselves are unchanged, so versions are unchanged.)
 VERSIONS = {"pipeline": 1, "minhash": 1, "minhash32": 1, "asof": 3, "conv": 2}
 HIST_PATH = "/root/repo/BENCH/scaling_history.jsonl"
+
+
+def master_for(cores: int) -> str:
+    if MODE == "local":
+        return f"local[{cores}]"
+    # 2 cores per executor JVM → N executors; same total-core ladder
+    assert cores % 2 == 0, cores
+    return f"local-cluster[{cores // 2},2,4096]"
+
 
 WORKER = r"""
 import json, sys, time
 sys.path.insert(0, "/root/repo")
-cpus = int(sys.argv[1]); path = sys.argv[2]
+master = sys.argv[1]; path = sys.argv[2]
+skip32 = sys.argv[3] == "1"; worker_healthy = float(sys.argv[4])
+cores = int(sys.argv[5])
 from pyspark.sql import SparkSession, functions as F
-spark = (SparkSession.builder.master(f"local[{cpus}]")
-    .appName(f"scaling-{cpus}")
-    .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+spark = (SparkSession.builder.master(master)
+    .appName(f"scaling-{cores}")
+    .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     .config("spark.sql.files.maxPartitionBytes", "8m")
     .config("spark.driver.memory", "16g")
+    .config("spark.executor.memory", "3g")
+    .config("spark.executorEnv.PYTHONPATH", "/root/repo")
     .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from gs_mcp_proxy_pii_redactor_spark.plans import ScrubJobConfig, build_pipeline
 from gs_mcp_proxy_pii_redactor_spark.sources import PARITY_DICTIONARY
+
+import numpy as _np
+probe_trail = {}   # metric -> every probe reading (audit)
+pass_probes = {}   # metric -> the probe immediately preceding each pass
+def _probe():
+    # 200MB read + 200MB write per iteration = 0.4 GB traffic (same
+    # unit as the launcher gate and bench.py)
+    a = _np.zeros(200_000_000 // 8); t0 = time.time(); k = 0
+    while time.time() - t0 < 0.5:
+        _ = a * 1.000001; k += 1
+    return round(k * 0.4 / (time.time() - t0), 2)
+def gated_probe(metric):
+    # pre-registered rule term 2 measures THIS value (the last probe
+    # before the pass); one bounded retry keeps qualification rates
+    # usable without hiding the collapsed first reading
+    tr = probe_trail.setdefault(metric, [])
+    p = _probe(); tr.append(p)
+    if p < worker_healthy:
+        time.sleep(12)
+        p = _probe(); tr.append(p)
+    pass_probes.setdefault(metric, []).append(p)
+    return p
+
+def run_metric(metric, fn, n_passes, warmup=True):
+    if warmup:  # worker spawn, imports, codegen JIT
+        fn()
+    times = []
+    for _ in range(n_passes):
+        gated_probe(metric)
+        t0 = time.time(); fn(); times.append(round(time.time() - t0, 3))
+    return times
+
 tdf = spark.read.parquet(path)
 n = tdf.count()
 cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
@@ -75,10 +165,7 @@ def full_pass():
     result = build_pipeline(spark, tdf, cfg)
     result.agg(F.sum(F.col("keep").cast("long")), F.sum(F.length("text_scrubbed")),
                F.sum("ppl")).collect()
-full_pass()  # warm-up: worker spawn, imports, codegen JIT
-times = []
-for _ in range(3):
-    t0 = time.time(); full_pass(); times.append(time.time() - t0)
+times = run_metric("pipeline", full_pass, 3)
 best = min(times)
 
 # MinHash-LSH candidate generation over a deterministic 10% sample of
@@ -92,36 +179,44 @@ ids = (tdf.withColumn("row_id", F.xxhash64("conv_id", "turn_idx"))
 def minhash_pass():
     pairs = minhash_candidate_pairs(ids, "row_id", "text", threshold=0.5)
     c = pairs.count()
-    unpersist_minhash_cache(pairs)  # 3 calls/JVM — don't stack sig caches
+    unpersist_minhash_cache(pairs)  # repeated calls must not stack caches
     return c
 n_sample = ids.count()
-n_pairs = minhash_pass()  # warm-up
-mtimes = []
-for _ in range(2):
-    t0 = time.time(); minhash_pass(); mtimes.append(time.time() - t0)
+n_pairs = minhash_pass()  # counted once for the report — doubles as warm-up
+mtimes = run_metric("minhash", minhash_pass, 2, warmup=False)
 mbest = min(mtimes)
 
-# Same sample, 32-bit signatures — the halved-signature-traffic
-# experiment behind the MinHash DRAM-wall attribution (round-3 verdict
-# #3): if the sub-0.8 scaling is the memory wall, halving the bytes the
-# signature stages stream should move the 2→8 ratio toward 1.
-def minhash32_pass():
-    pairs = minhash_candidate_pairs(ids, "row_id", "text", threshold=0.5,
-                                    sig_bits=32)
-    c = pairs.count()
-    unpersist_minhash_cache(pairs)
-    return c
-n_pairs32 = minhash32_pass()  # warm-up
-m32times = []
-for _ in range(2):
-    t0 = time.time(); minhash32_pass(); m32times.append(time.time() - t0)
-m32best = min(m32times)
+out = {"cores": cores, "cpus": cores, "master": master, "rows": n,
+       "times": times, "wall": round(best, 3),
+       "rows_per_sec": round(n / best, 1),
+       "minhash_wall": round(mbest, 3), "minhash_times": mtimes,
+       "minhash_rows": n_sample,
+       "minhash_rows_per_sec": round(n_sample / mbest, 1),
+       "minhash_pairs": n_pairs}
 
-# As-of join at 4× bench scale (newest shuffle-bearing operator — the
-# keyed-window sort is the term the tiny q33 input never exercised).
-# Input is replicated with distinct conv keys (no artificial hot key);
-# the agg over the matched payload FORCES the window — a bare count()
-# lets column pruning drop the Window node entirely (measured).
+# Same sample, 32-bit signatures — the halved-signature-traffic
+# experiment behind the (refuted, round 4) signature-traffic
+# attribution; optional since round 5 (the falsification is complete,
+# the paired table keeps accumulating when enabled).
+if not skip32:
+    def minhash32_pass():
+        pairs = minhash_candidate_pairs(ids, "row_id", "text", threshold=0.5,
+                                        sig_bits=32)
+        c = pairs.count()
+        unpersist_minhash_cache(pairs)
+        return c
+    n_pairs32 = minhash32_pass()  # warm-up + count
+    m32times = run_metric("minhash32", minhash32_pass, 2, warmup=False)
+    m32best = min(m32times)
+    out.update({"minhash32_wall": round(m32best, 3),
+                "minhash32_times": m32times,
+                "minhash32_rows_per_sec": round(n_sample / m32best, 1),
+                "minhash32_pairs": n_pairs32})
+
+# As-of join at 4× bench scale (union + ONE keyed exchange). Input is
+# replicated with distinct conv keys (no artificial hot key); the agg
+# over the matched payload FORCES the window — a bare count() lets
+# column pruning drop the Window node entirely (measured).
 from gs_mcp_proxy_pii_redactor_spark.operators.asof import asof_join
 big = (tdf.withColumn("_rep", F.explode(F.array(*[F.lit(i) for i in range(4)])))
           .select(F.concat("conv_id", F.lit("#"), F.col("_rep").cast("string"))
@@ -130,11 +225,9 @@ lhs = big.select("conv_id", "turn_idx")
 rhs = (big.filter(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(4)) == 0)
           .select("conv_id", "turn_idx", F.length("text").alias("feat")))
 
-# Salted two-phase conv_stats rollup — the remaining shuffle-bearing
-# branch with no N→4N evidence (round-3 verdict #4). Narrow input
-# mirrors run_job's pruned read-back of the written result; runs at 4×
-# input (the `big` frame — conv metric v2) so the walls amortize fixed
-# job overhead (v1's ~1s local[8] wall was a third scheduling noise).
+# Salted two-phase conv_stats rollup — the shuffle-bearing branch.
+# Narrow input mirrors run_job's pruned read-back; runs at 4× input
+# (the `big` frame — conv metric v2) so walls amortize fixed overhead.
 from gs_mcp_proxy_pii_redactor_spark.plans.job import conv_stats
 cs_in = big.select("conv_id", "turn_idx",
                    (F.length("text") > 80).alias("keep"),
@@ -142,36 +235,24 @@ cs_in = big.select("conv_id", "turn_idx",
 def conv_pass():
     return conv_stats(cs_in, salt=8).agg(
         F.sum("n_turns"), F.sum("n_keep"), F.count("*")).collect()
-conv_pass()  # warm-up
-ctimes = []
-for _ in range(2):
-    t0 = time.time(); conv_pass(); ctimes.append(time.time() - t0)
+ctimes = run_metric("conv", conv_pass, 2)
 cbest = min(ctimes)
+n_asof = [0]
 def asof_pass():
     joined = asof_join(lhs, rhs, by="conv_id", on="turn_idx",
                        value_cols=["feat"])
     row = joined.agg(F.sum("feat_asof"), F.count("*")).collect()[0]
+    n_asof[0] = row[1]
     return row[1]
-n_asof = asof_pass()  # warm-up
-atimes = []
-for _ in range(2):
-    t0 = time.time(); asof_pass(); atimes.append(time.time() - t0)
+atimes = run_metric("asof", asof_pass, 2)
 abest = min(atimes)
-print(json.dumps({"cpus": cpus, "rows": n, "times": [round(t, 2) for t in times],
-                  "wall": round(best, 3), "rows_per_sec": round(n / best, 1),
-                  "minhash_wall": round(mbest, 3), "minhash_times": [round(t,2) for t in mtimes],
-                  "minhash_rows": n_sample,
-                  "minhash_rows_per_sec": round(n_sample / mbest, 1), "minhash_pairs": n_pairs,
-                  "minhash32_wall": round(m32best, 3),
-                  "minhash32_times": [round(t,2) for t in m32times],
-                  "minhash32_rows_per_sec": round(n_sample / m32best, 1),
-                  "minhash32_pairs": n_pairs32,
-                  "conv_wall": round(cbest, 3),
-                  "conv_times": [round(t,2) for t in ctimes],
-                  "conv_rows_per_sec": round(4 * n / cbest, 1),
-                  "asof_wall": round(abest, 3), "asof_times": [round(t,2) for t in atimes],
-                  "asof_rows": n_asof,
-                  "asof_rows_per_sec": round(n_asof / abest, 1)}))
+out.update({"conv_wall": round(cbest, 3), "conv_times": ctimes,
+            "conv_rows_per_sec": round(4 * n / cbest, 1),
+            "asof_wall": round(abest, 3), "asof_times": atimes,
+            "asof_rows": n_asof[0],
+            "asof_rows_per_sec": round(n_asof[0] / abest, 1),
+            "probe_trail": probe_trail, "pass_probes": pass_probes})
+print("SCALINGJSON" + json.dumps(out))
 spark.stop()
 """
 
@@ -214,6 +295,7 @@ METRICS = {
     "conv": "conv_rows_per_sec",
     "asof": "asof_rows_per_sec",
 }
+PAIRS = {"2_8": ("2", "8"), "8_32": ("8", "32")}
 
 
 def load_history() -> list[dict]:
@@ -223,42 +305,77 @@ def load_history() -> list[dict]:
         return [json.loads(ln) for ln in fh if ln.strip()]
 
 
-def compatible(entry: dict, metric: str) -> bool:
+def compatible(entry: dict, metric: str, mode: str = MODE) -> bool:
     return (
         os.path.normpath(entry.get("sf", "")) == SF_DIR
         and entry.get("tpd") == TPD
+        and entry.get("mode", "local") == mode
         and entry.get("versions", {}).get(metric) == VERSIONS[metric]
     )
 
 
-def gen_efficiencies(history: list[dict], metric: str) -> dict[str, list[float]]:
+def qualifies(entry: dict, metric: str, pair: str) -> bool:
+    """Pre-registered inclusion rule (module docstring). Legacy entries
+    without in-worker probes never qualify."""
+    lo, hi = PAIRS[pair]
+    gates = entry.get("gate_probes")
+    if not isinstance(gates, dict):  # earliest-generation format
+        return False
+    for lvl in (lo, hi):
+        gate = gates.get(lvl)
+        if not gate or gate[-1] < HEALTHY_LAUNCH_GBPS:
+            return False
+        pp = (
+            entry.get("levels", {})
+            .get(lvl, {})
+            .get("pass_probes", {})
+            .get(metric)
+        )
+        if not pp or any(p < HEALTHY_WORKER_GBPS for p in pp):
+            return False
+    return True
+
+
+def gen_efficiencies(
+    history: list[dict], metric: str, mode: str = MODE
+) -> dict[str, dict[str, list[float]]]:
     """Per-generation N→4N efficiencies for one metric across compatible
-    history entries."""
+    history entries, each pair independently (a generation run at only
+    two levels still contributes its pair), split into all/qualifying."""
     key = METRICS[metric]
-    out = {"2_8": [], "8_32": []}
+    out = {
+        "all": {p: [] for p in PAIRS},
+        "qual": {p: [] for p in PAIRS},
+    }
     for e in history:
-        if not compatible(e, metric):
+        if not compatible(e, metric, mode):
             continue
         lv = e["levels"]
-        try:
-            r2, r8, r32 = (lv["2"][key], lv["8"][key], lv["32"][key])
-        except KeyError:
-            continue
-        out["2_8"].append(round((r8 / r2) / 4.0, 3))
-        out["8_32"].append(round((r32 / r8) / 4.0, 3))
+        for pair, (lo, hi) in PAIRS.items():
+            try:
+                eff = round((lv[hi][key] / lv[lo][key]) / 4.0, 3)
+            except KeyError:
+                continue
+            out["all"][pair].append(eff)
+            if qualifies(e, metric, pair):
+                out["qual"][pair].append(eff)
     return out
 
 
-def best_per_level(history: list[dict], metric: str) -> dict[str, float]:
+def best_per_level(history: list[dict], metric: str, mode: str = MODE) -> dict[str, float]:
     key = METRICS[metric]
     best: dict[str, float] = {}
     for e in history:
-        if not compatible(e, metric):
+        if not compatible(e, metric, mode):
             continue
-        for cpus, res in e["levels"].items():
+        for cores, res in e["levels"].items():
             if key in res:
-                best[cpus] = max(best.get(cpus, 0.0), res[key])
+                best[cores] = max(best.get(cores, 0.0), res[key])
     return best
+
+
+def _median(v):
+    return round(statistics.median(v), 3) if v else None
 
 
 def main() -> None:
@@ -283,21 +400,41 @@ def main() -> None:
         ).parquet(path)
         spark.stop()
 
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env["PYSPARK_PYTHON"] = sys.executable
+
     results = {}
     probes: dict[str, list[float]] = {}
-    for cpus in LEVELS:
+    for cores in LEVELS:
         lvl_probes: list[float] = []
         _wait_for_bandwidth_window(lvl_probes)
-        probes[str(cpus)] = lvl_probes
+        probes[str(cores)] = lvl_probes
         out = subprocess.run(
-            [sys.executable, "-c", WORKER, str(cpus), path],
+            [
+                sys.executable,
+                "-c",
+                WORKER,
+                master_for(cores),
+                path,
+                "1" if SKIP_MINHASH32 else "0",
+                repr(HEALTHY_WORKER_GBPS),
+                str(cores),
+            ],
             capture_output=True,
             text=True,
             timeout=3600,
+            env=env,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(line)
+        lines = [
+            l for l in out.stdout.splitlines() if l.startswith("SCALINGJSON")
+        ]
+        if not lines:
+            raise RuntimeError(
+                f"worker {master_for(cores)} failed: {out.stderr[-3000:]}"
+            )
+        results[cores] = json.loads(lines[-1][len("SCALINGJSON"):])
+        print(json.dumps(results[cores]))
 
     bwidth = measure_bandwidth()
     print("bandwidth GB/s:", bwidth)
@@ -306,70 +443,122 @@ def main() -> None:
         "t": round(time.time(), 1),
         "sf": SF_DIR,
         "tpd": TPD,
+        "mode": MODE,
         "versions": dict(VERSIONS),
         "levels": {str(c): results[c] for c in LEVELS},
         "gate_probes": probes,
         "bandwidth": bwidth,
+        "rule": {
+            "launch_gbps": HEALTHY_LAUNCH_GBPS,
+            "worker_gbps": HEALTHY_WORKER_GBPS,
+        },
     }
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open(HIST_PATH, "a") as fh:
         fh.write(json.dumps(entry) + "\n")
 
-    history = load_history()
-    n_gens = {m: sum(1 for e in history if compatible(e, m)) for m in METRICS}
-    effs = {m: gen_efficiencies(history, m) for m in METRICS}
-    bests = {m: best_per_level(history, m) for m in METRICS}
-    med = {
-        m: {
-            pair: (round(statistics.median(v), 3) if v else None)
-            for pair, v in pairs.items()
-        }
-        for m, pairs in effs.items()
-    }
+    write_report(load_history(), bwidth, results, probes)
+
+
+def write_report(history, bwidth, results=None, probes=None) -> None:
+    """Regenerate BENCH/BASELINE.md from the full history (callable
+    standalone: ``python -c "from bench_scaling import *; write_report(
+    load_history(), measure_bandwidth())"``)."""
+    stats: dict[str, dict] = {}
+    for mode in ("local", "local-cluster"):
+        per = {}
+        for m in METRICS:
+            effs = gen_efficiencies(history, m, mode)
+            per[m] = {
+                "n": sum(1 for e in history if compatible(e, m, mode)),
+                "effs": effs,
+                "med_all": {p: _median(v) for p, v in effs["all"].items()},
+                "med_qual": {p: _median(v) for p, v in effs["qual"].items()},
+                "n_qual": {p: len(v) for p, v in effs["qual"].items()},
+                "best": best_per_level(history, m, mode),
+            }
+        stats[mode] = per
+
     summary = {
-        "rows": results[8]["rows"],
-        "throughput_this_gen": {c: results[c]["rows_per_sec"] for c in LEVELS},
-        "generations": n_gens,
-        "eff_2_to_8_median": med["pipeline"]["2_8"],
-        "eff_2_to_8_all": effs["pipeline"]["2_8"],
-        "eff_8_to_32_median": med["pipeline"]["8_32"],
-        "minhash_eff_2_to_8_median": med["minhash"]["2_8"],
-        "minhash32_eff_2_to_8_median": med["minhash32"]["2_8"],
-        "conv_eff_2_to_8_median": med["conv"]["2_8"],
-        "asof_eff_2_to_8_median": med["asof"]["2_8"],
-        "best_per_level": bests,
-        "bandwidth_gbps": bwidth,
-        "gate_probes": probes,
+        "mode_this_gen": MODE,
+        "levels_this_gen": list(LEVELS),
+        "rule": {
+            "launch_gbps": HEALTHY_LAUNCH_GBPS,
+            "worker_gbps": HEALTHY_WORKER_GBPS,
+        },
         "target": 0.8,
-        "pass_below_bandwidth_ceiling": (med["pipeline"]["2_8"] or 0) >= 0.8,
     }
+    for mode in stats:
+        for m in METRICS:
+            s = stats[mode][m]
+            summary[f"{mode}:{m}"] = {
+                "gens": s["n"],
+                "eff_2_8_median_all": s["med_all"]["2_8"],
+                "eff_2_8_median_qualifying": s["med_qual"]["2_8"],
+                "n_qualifying": s["n_qual"]["2_8"],
+            }
     print(json.dumps(summary))
-
-    r2, r8, r32 = results[2], results[8], results[32]
-    pb, mb, ab = bests["pipeline"], bests["minhash"], bests["asof"]
-    cb = bests["conv"]
-
-    # same-generation paired minhash comparison (both variants in one
-    # JVM minutes apart — pairing removes between-generation drift)
-    paired = []
-    for e in history:
-        if not (compatible(e, "minhash") and compatible(e, "minhash32")):
-            continue
-        lv = e["levels"]
-        try:
-            e64 = round((lv["8"]["minhash_rows_per_sec"] / lv["2"]["minhash_rows_per_sec"]) / 4, 3)
-            e32 = round((lv["8"]["minhash32_rows_per_sec"] / lv["2"]["minhash32_rows_per_sec"]) / 4, 3)
-            w = {c: round(lv[c]["minhash32_wall"] / lv[c]["minhash_wall"], 2) for c in ("2", "8")}
-        except KeyError:
-            continue
-        paired.append((e64, e32, w))
-    paired_rows = "\n".join(
-        f"| {e64} | {e32} | {round(e32 - e64, 3):+} | {w['2']} | {w['8']} |"
-        for e64, e32, w in paired
-    )
 
     def fmt_list(v):
         return ", ".join(f"{x:.3f}" for x in v) if v else "—"
+
+    def mode_section(mode: str, title: str) -> str:
+        per = stats[mode]
+        if all(per[m]["n"] == 0 for m in METRICS):
+            return f"## {title}\n\n(no generations recorded yet)\n"
+        rows = []
+        for m in METRICS:
+            s = per[m]
+            if s["n"] == 0:
+                continue
+            rows.append(
+                f"| {m} | {s['n']} | {s['med_all']['2_8']} | "
+                f"{s['med_qual']['2_8']} | {s['n_qual']['2_8']} | "
+                f"{s['med_all']['8_32']} | "
+                + " · ".join(
+                    f"{s['best'].get(c, 0):,.0f}" for c in ("2", "8", "32")
+                )
+                + " |"
+            )
+        detail = []
+        for m in METRICS:
+            s = per[m]
+            if s["n"] == 0:
+                continue
+            detail.append(
+                f"* **{m}** 2→8 per-generation: all = "
+                f"{fmt_list(s['effs']['all']['2_8'])}; qualifying = "
+                f"{fmt_list(s['effs']['qual']['2_8'])}"
+            )
+        return (
+            f"## {title}\n\n"
+            "| metric | gens | 2→8 median (all) | 2→8 median (qualifying) "
+            "| n qual | 8→32 median (all) | best rows/s @2·8·32 |\n"
+            "|---|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
+            + "\n".join(detail) + "\n"
+        )
+
+    this_gen = ""
+    if results:
+        got = sorted(results)
+        rows = "\n".join(
+            f"| {results[c].get('master', c)} | {results[c]['wall']} | "
+            f"{results[c]['times']} | {results[c]['rows_per_sec']:,} | "
+            f"{results[c]['pass_probes'].get('pipeline', [])} |"
+            for c in got
+        )
+        this_gen = f"""## This generation (mode={MODE})
+
+Pre-launch gate probes per level: {probes}
+
+| master | best wall (s) | all runs (s) | turns/s | pre-pass probes GB/s |
+|---|---|---|---|---|
+{rows}
+"""
+
+    n_rows = (
+        f"{next(iter(results.values()))['rows']:,}" if results else "~2M"
+    )
 
     with open("/root/repo/BENCH/BASELINE.md", "w", encoding="utf-8") as f:
         f.write(
@@ -377,161 +566,78 @@ def main() -> None:
 
 Full scrub+filter pipeline (fused Arrow UDF: parity scrub + langid +
 perplexity; fused single-pass extended-PII regex; staged quality rules)
-over one identical materialized transcript table ({r8['rows']:,} turns
+over one identical materialized transcript table ({n_rows} turns
 synthesized from {SF_DIR}), separate JVMs per parallelism level,
 best-of-3 timed passes after a full warm-up pass. The per-turn hot path
 is shuffle-free (SURVEY.md §4.3 branch A); parallelism comes from input
 splits (128 files, maxPartitionBytes=8m).
 
-## Methodology on a drifting host
+Two modes, same ladder of total cores (2 → 8 → 32):
+
+* **local-cluster** (PRIMARY since round 5): `local-cluster[n,2,4096]`
+  — n separate executor JVMs × 2 cores. Real inter-process
+  serialization and shuffle transport; the closest sandbox analog of
+  the north rule's "N vs 4N executors".
+* **local**: `local[N]` threads in one JVM (all pre-round-5 history).
+
+## Methodology on a drifting host, and the PRE-REGISTERED inclusion rule
 
 This host's DRAM bandwidth drifts 5-30× across minutes (probe table
-below; this run's pre-launch probes per level: {probes}). A single
-generation's 2→8 ratio is skewed by which window each level lands in
-(same-code generations measured 0.69-0.88), so each level's JVM launch
-WAITS (bounded — after the wait budget it proceeds regardless, so a
-long collapse cannot deadlock the harness; the recorded probes show
-which launches still started collapsed) for a ≥2 GB/s window, and every
-generation is appended to BENCH/scaling_history.jsonl; the headline
-efficiency is the MEDIAN across same-code generations, with
-per-generation values and best-per-level throughput shown for audit —
-the median is what absorbs the launches that never got a healthy
-window.
+below). A single generation's 2→8 ratio is skewed by which window each
+level lands in (same-code generations measured 0.6-1.0 on identical
+plans), so every generation is appended to BENCH/scaling_history.jsonl
+and the headline efficiency is the MEDIAN across same-code generations.
+Since round 5 the harness additionally records a probe immediately
+before EVERY timed pass inside each worker, and reports a second,
+CONDITIONED median over generations satisfying the inclusion rule that
+was declared in tools/bench_scaling.py BEFORE any round-5 run:
 
-## This generation
+1. the pre-launch gate trail for BOTH levels of a pair ends at
+   ≥ {HEALTHY_LAUNCH_GBPS} GB/s (a real healthy-window launch, not a
+   wait-budget expiry), and
+2. every pre-pass in-worker probe for that metric at BOTH levels is
+   ≥ {HEALTHY_WORKER_GBPS} GB/s.
 
-| parallelism | best wall (s) | all runs (s) | turns/s |
-|---|---|---|---|
-| local[2]       | {r2['wall']} | {r2['times']} | {r2['rows_per_sec']:,} |
-| local[8]  (4×) | {r8['wall']} | {r8['times']} | {r8['rows_per_sec']:,} |
-| local[32] (16×)| {r32['wall']} | {r32['times']} | {r32['rows_per_sec']:,} |
+The conditioned median estimates scaling with the host's collapsing
+memory wall excluded from the sample — the quantity a real cluster
+(per-node memory channels) sees. Pre-round-5 generations carry no
+in-worker probes and can never qualify; they feed only the
+unconditioned median. Neither median is ever deleted: both are
+reported, with per-generation values for audit.
 
-## Across generations (same code, same input)
+{this_gen}
+{mode_section("local-cluster",
+              "Across generations — mode local-cluster (PRIMARY)")}
+{mode_section("local", "Across generations — mode local (historical + continuing)")}
 
-Pipeline 2→8 efficiency per generation: {fmt_list(effs['pipeline']['2_8'])}
-→ **median {med['pipeline']['2_8']}** over {n_gens['pipeline']} generation(s)
-(target ≥ 0.8 → {'PASS' if summary['pass_below_bandwidth_ceiling'] else 'FAIL'});
-8→32: median {med['pipeline']['8_32']} (bandwidth-wall caveat below).
-Best-per-level turns/s: local[2] {pb.get('2', 0):,.0f} · local[8]
-{pb.get('8', 0):,.0f} · local[32] {pb.get('32', 0):,.0f}.
+## Reading the table
 
-## MinHash-LSH candidate generation at the same scale
-
-Deterministic 10% sample ({r8['minhash_rows']:,} turns) of the same
-table, same JVMs: shingle → 64-permutation signature → 16-band bucket
-join (candidates only; bucket-size capped), warm-up + best-of-2.
-
-| parallelism | best wall (s) | rows/s | pairs |
-|---|---|---|---|
-| local[2]       | {r2['minhash_wall']} | {r2['minhash_rows_per_sec']:,} | {r2['minhash_pairs']:,} |
-| local[8]  (4×) | {r8['minhash_wall']} | {r8['minhash_rows_per_sec']:,} | {r8['minhash_pairs']:,} |
-| local[32] (16×)| {r32['minhash_wall']} | {r32['minhash_rows_per_sec']:,} | {r32['minhash_pairs']:,} |
-
-MinHash 2→8 efficiency per generation: {fmt_list(effs['minhash']['2_8'])}
-→ median {med['minhash']['2_8']} over {n_gens['minhash']} generation(s);
-best-per-level rows/s: {mb.get('2', 0):,.0f} · {mb.get('8', 0):,.0f} ·
-{mb.get('32', 0):,.0f}.
-Candidate generation is two hash aggregations + one bucket-equality
-join — no quadratic term below the bucket cap. MinHash is the most
-bandwidth-intensive stage here (it streams and xxhash64-shingles the
-full text column 64 permutations deep), so on this DRAM-capped host it
-hits the memory wall below 8 cores already — its sub-0.8 sandbox median
-is the same wall the pipeline only hits at 8→32, not a coordination
-term (the plan has no shuffle growth with N; per-node bandwidth on a
-real cluster restores the headroom).
-
-### The DRAM-wall attribution, measured (32-bit signature experiment)
-
-Round-3 verdict #3 asked for the attribution to become a measurement:
-``sig_bits=32`` halves the signature bytes every downstream stage
-streams (persist, band hashing, est-join) with provably identical
-candidates (tests/test_operators.py::test_minhash_32bit…). Prediction
-under the "signature DRAM traffic" hypothesis: the lighter variant's
-walls shrink and its 2→8 ratio sits closer to 1; a term that lives
-elsewhere leaves both unchanged. Same-generation pairs (both variants
-in one JVM, minutes apart — pairing removes between-generation window
-drift):
-
-| 64-bit 2→8 eff | 32-bit 2→8 eff | Δ(32−64) | wall ratio 32/64 @2 | @8 |
-|---|---|---|---|---|
-{paired_rows}
-
-This generation's walls: local[2] {r2['minhash_wall']}s/{r2['minhash32_wall']}s,
-local[8] {r8['minhash_wall']}s/{r8['minhash32_wall']}s,
-local[32] {r32['minhash_wall']}s/{r32['minhash32_wall']}s (64/32-bit).
-Medians: 32-bit {med['minhash32']['2_8']} over {n_gens['minhash32']}
-generation(s) vs 64-bit {med['minhash']['2_8']} over
-{n_gens['minhash']}.
-
-**Measured conclusion (round 4): the specific "signature traffic"
-attribution is REFUTED** — the wall ratios sit at ~1.0 at local[2] and
-local[8] and the paired efficiency deltas are within window noise, so
-signature width is NOT the dominant DRAM term. What both variants share
-— streaming the full text column through tokenize → shingle → xxhash64
-base hashing — is where the bandwidth goes, which also explains why the
-per-generation 2→8 ratio for MinHash spans ~0.6-1.0 on identical code:
-it is a scan-bandwidth-bound stage sampling a drifting memory wall, not
-a coordination defect (no shuffle in the plan grows with N). On a real
-cluster each node brings its own memory channels, so node-count scaling
-tracks the healthy-window samples (≈0.86-1.0), not the collapsed ones.
-
-## Salted conv_stats rollup (the remaining shuffle-bearing branch)
-
-Two-phase (conv_id, salt) partial agg → conv_id final agg
-(plans/job.py conv_stats, salt=8) over {r8['rows'] * 4:,} turns (the
-4×-replicated `big` frame — conv metric v2; v1's ~1s local[8] wall was
-a third fixed job overhead and biased the ratio down) on a pruned
-4-column input (run_job's read-back shape), warm-up + best-of-2. This
-is the branch whose shuffle actually grows with the corpus, so its
-N→4N pair is the shuffle-scaling evidence the round-3 verdict asked
-for (#4).
-
-| parallelism | best wall (s) | rows/s |
-|---|---|---|
-| local[2]       | {r2['conv_wall']} | {r2['conv_rows_per_sec']:,} |
-| local[8]  (4×) | {r8['conv_wall']} | {r8['conv_rows_per_sec']:,} |
-| local[32] (16×)| {r32['conv_wall']} | {r32['conv_rows_per_sec']:,} |
-
-conv_stats 2→8 efficiency per generation: {fmt_list(effs['conv']['2_8'])}
-→ median {med['conv']['2_8']} over {n_gens['conv']} generation(s);
-best-per-level rows/s: {cb.get('2', 0):,.0f} · {cb.get('8', 0):,.0f} ·
-{cb.get('32', 0):,.0f}.
-
-Interpretation: the rollup's shuffle term is tiny (≈ n_convs × salt
-partial rows — map-side combined), so the job is dominated by the text
-column scan that feeds length(); its per-generation ratio therefore
-shows the same scan-bandwidth window noise as MinHash (healthy-window
-samples reach ≈0.9+, collapsed ones ≈0.66), not a shuffle-coordination
-term — consistent with the 32-bit-signature finding above.
-
-## As-of join at 4× scale
-
-{r8['asof_rows']:,} left rows (the table replicated 4× under distinct
-conv keys) joined to the latest at-or-before row of a 25% sample
-(union → ONE conv_id exchange → keyed window; operators/asof.py),
-warm-up + best-of-2. The timed pass aggregates the matched payload —
-a bare count() lets column pruning drop the Window node entirely
-(measured; asof metric versioned v3 for this reason).
-
-| parallelism | best wall (s) | rows/s |
-|---|---|---|
-| local[2]       | {r2['asof_wall']} | {r2['asof_rows_per_sec']:,} |
-| local[8]  (4×) | {r8['asof_wall']} | {r8['asof_rows_per_sec']:,} |
-| local[32] (16×)| {r32['asof_wall']} | {r32['asof_rows_per_sec']:,} |
-
-As-of 2→8 efficiency per generation: {fmt_list(effs['asof']['2_8'])}
-→ median {med['asof']['2_8']} over {n_gens['asof']} generation(s);
-best-per-level rows/s: {ab.get('2', 0):,.0f} · {ab.get('8', 0):,.0f} ·
-{ab.get('32', 0):,.0f}.
+* **pipeline** — the headline scrub+filter (shuffle-free per-turn path);
+  its 2→8 pair is the north-rule N→4N substitute.
+* **minhash / minhash32** — MinHash-LSH candidate generation on a 10%
+  sample; 64- vs 32-bit signatures. Round 4's paired experiment REFUTED
+  the "signature traffic" attribution for minhash's sub-0.8
+  unconditioned median (wall ratios ≈1.0 at both levels with half the
+  signature bytes): the bandwidth term is the tokenize→shingle→xxhash64
+  scan of the full text column, which drifts with the host's DRAM wall.
+  The conditioned median is the direct test of that claim — scan-bound
+  stages scale when the wall stays out of the sample.
+* **conv** — salted two-phase conv_stats rollup at 4× input (the only
+  branch whose shuffle grows with the corpus). Its shuffle term is tiny
+  (≈ n_convs × salt map-side-combined partials), so it shows the same
+  scan-window noise as minhash.
+* **asof** — as-of join at 4× input: union → ONE keyed exchange →
+  keyed window; timed via payload agg because a bare count() provably
+  prunes the Window node.
 
 ## Why 2→8 is the honest pair: this host has a hard memory-bandwidth wall
 
 Aggregate DRAM bandwidth measured with an independent numpy probe
-(200 MB stream per process):
+(200 MB stream per process), this run:
 
 | processes | aggregate GB/s |
 |---|---|
-{chr(10).join(f"| {k} | {v} |" for k, v in bwidth.items())}
+{chr(10).join(f"| {k} | {v} |" for k, v in (bwidth or {}).items())}
 
 The 2→8 pair operates below the ceiling and shows the pipeline's
 intrinsic scaling; the 8→32 pair saturates host DRAM, which a real
@@ -540,8 +646,9 @@ memory channels). The per-turn plan has zero cross-task coordination
 (no shuffle, no barriers, broadcast-only dictionary), so node-count
 scaling on a real cluster tracks the 2→8 figure.
 
-Configs: shuffle.partitions=max(cpus,8), AQE on, Arrow batch 10k,
-warm-up excluded, generated {time.strftime('%Y-%m-%d %H:%M:%S')}.
+Configs: shuffle.partitions=max(cores,8), AQE on, Arrow batch 10k,
+maxPartitionBytes=8m, executor memory 3g (local-cluster), warm-up
+excluded, generated {time.strftime('%Y-%m-%d %H:%M:%S')}.
 
 ## Driver-bench shape (250k turns — same n_turns as bench.py)
 
@@ -551,16 +658,15 @@ Round-1 flagged a 17.6× spread between the driver's recorded bench
 bandwidth drifts 5-30× across minutes. bench.py measures the headline
 scrub in three separate sequential JVMs (warm-up + 3 timed passes each,
 overall best of 9), the resident session stopped during the workers,
-and — since round 3 — each JVM launch waits (bounded) for a ≥2 GB/s window AND
-the worker re-probes immediately before every timed pass (one bounded
-retry; all probes recorded as scrub_bw_probes), so a collapsed window
-can no longer seed the sample pool the way BENCH_r02's 0.24 GB/s first
-JVM did. Two consecutive round-2 bench.py runs at sf0.1/local[32]/250k
+and each JVM launch waits (bounded) for a ≥2 GB/s window AND the worker
+re-probes immediately before every timed pass (one bounded retry; all
+probes recorded as scrub_bw_probes), so a collapsed window can no
+longer seed the sample pool the way BENCH_r02's 0.24 GB/s first JVM
+did. Two consecutive round-2 bench.py runs at sf0.1/local[32]/250k
 turns measured 142,046 and 159,337 turns/s (ratio 1.12, criterion ≤
-1.5×); two consecutive round-3-harness runs measured 125,439 and
-119,275 turns/s (ratio 1.05) during a largely collapsed evening window
-(probe trails recorded) — within 1.27× of that band and tighter
-run-to-run than round 2's 1.12.
+1.5×); round-3-harness runs measured 125,439 and 119,275 (ratio 1.05)
+in a collapsed evening window; round 4 recorded 122,429-123,518 with
+full probe trails.
 """
         )
     print("wrote /root/repo/BENCH/BASELINE.md")

@@ -1,0 +1,178 @@
+"""Arrow-batch × maxPartitionBytes sweep — derive the bench defaults.
+
+Round-4 verdict #7: the configs used across the bench harnesses (Arrow
+maxRecordsPerBatch=10k, files.maxPartitionBytes=8m) were asserted, not
+derived. This sweep measures the full scrub+filter pipeline on the
+2M-turn table at local[32] over batch {2k, 10k, 50k} × splits
+{8m, 32m, 128m}, one JVM (both knobs are runtime-settable: Arrow batch
+at UDF execution, maxPartitionBytes at scan planning), probe-gated
+passes with recorded trails, best-of-2 per cell after a global warm-up.
+
+Writes BENCH/SWEEP.md; the chosen defaults are documented in
+docs/PLANS.md and referenced from the harness configs.
+
+Usage: python tools/bench_sweep.py [--reuse]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _wait_for_bandwidth_window  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+TPD = 400  # the 2M-turn table (shared cache with bench_scaling)
+CORES = 32
+BATCHES = (2_000, 10_000, 50_000)
+SPLITS = ("8m", "32m", "128m")
+MD_PATH = "/root/repo/BENCH/SWEEP.md"
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+cores = int(sys.argv[1]); path = sys.argv[2]
+batches = json.loads(sys.argv[3]); splits = json.loads(sys.argv[4])
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master(f"local[{cores}]")
+    .appName("bench-sweep")
+    .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.driver.memory", "16g")
+    .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from gs_mcp_proxy_pii_redactor_spark.plans import ScrubJobConfig, build_pipeline
+from gs_mcp_proxy_pii_redactor_spark.sources import PARITY_DICTIONARY
+cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
+
+import numpy as _np
+def _probe():
+    a = _np.zeros(200_000_000 // 8); t0 = time.time(); k = 0
+    while time.time() - t0 < 0.5:
+        _ = a * 1.000001; k += 1
+    return round(k * 0.4 / (time.time() - t0), 2)
+
+def full_pass():
+    tdf = spark.read.parquet(path)  # re-plan: maxPartitionBytes is read at scan planning
+    result = build_pipeline(spark, tdf, cfg)
+    result.agg(F.sum(F.col("keep").cast("long")), F.sum(F.length("text_scrubbed")),
+               F.sum("ppl")).collect()
+
+n = spark.read.parquet(path).count()
+full_pass()  # global warm-up (workers, JIT) under the default config
+cells = []
+for b in batches:
+    for s in splits:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(b))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", s)
+        times, probes = [], []
+        for _ in range(2):
+            p = _probe(); probes.append(p)
+            if p < 2.0:
+                time.sleep(15)
+                probes.append(_probe())
+            t0 = time.time(); full_pass(); times.append(round(time.time() - t0, 3))
+        cells.append({"batch": b, "split": s, "times": times,
+                      "wall": min(times), "probes": probes})
+        print(json.dumps(cells[-1]), file=sys.stderr)
+print("SWEEPJSON" + json.dumps({"rows": n, "cells": cells}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    path = f"/tmp/scaling_transcripts_{os.path.basename(SF_DIR)}_tpd{TPD}"
+    if not ("--reuse" in sys.argv and os.path.exists(f"{path}/_SUCCESS")):
+        from pyspark.sql import SparkSession
+
+        from gs_mcp_proxy_pii_redactor_spark.sources import (
+            synthesize_transcripts,
+        )
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        synthesize_transcripts(spark, SF_DIR, TPD).repartition(128).write.mode(
+            "overwrite"
+        ).parquet(path)
+        spark.stop()
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    gate: list[float] = []
+    _wait_for_bandwidth_window(gate)
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            WORKER,
+            str(CORES),
+            path,
+            json.dumps(list(BATCHES)),
+            json.dumps(list(SPLITS)),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        env=env,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("SWEEPJSON")]
+    if not lines:
+        raise RuntimeError(f"sweep worker failed: {out.stderr[-3000:]}")
+    res = json.loads(lines[-1][len("SWEEPJSON"):])
+    cells = res["cells"]
+    best = min(cells, key=lambda c: c["wall"])
+
+    with open(MD_PATH, "w", encoding="utf-8") as f:
+        f.write(
+            f"""# BENCH/SWEEP — Arrow batch × maxPartitionBytes, measured
+
+Full scrub+filter pipeline over the {res['rows']:,}-turn table at
+local[{CORES}], one JVM, global warm-up, best-of-2 per cell with
+probe-gated passes (pre-launch gate: {gate}). Both knobs are
+runtime-settable, so cells share the warmed JVM; cell order is
+batch-major (all splits for one batch, then the next batch), so a
+bandwidth collapse would show as a contiguous stripe — check the probe
+column before reading a cell as signal.
+
+| batch \\ split | {' | '.join(SPLITS)} |
+|---|{'---|' * len(SPLITS)}
+"""
+        )
+        for b in BATCHES:
+            row = [f"| {b:,} "]
+            for s in SPLITS:
+                c = next(x for x in cells if x["batch"] == b and x["split"] == s)
+                row.append(f"| {c['wall']} ")
+            f.write("".join(row) + "|\n")
+        f.write("\nPer-cell detail (times / probes):\n\n")
+        for c in cells:
+            f.write(
+                f"* batch {c['batch']:,} × split {c['split']}: "
+                f"times {c['times']}, probes {c['probes']}\n"
+            )
+        f.write(
+            f"""
+**Best cell: batch {best['batch']:,} × split {best['split']} =
+{best['wall']}s.** Decision rule: keep the default at 10k × 8m unless a
+cell beats it by >10% with healthy probes on BOTH of its passes —
+single-digit deltas on this host are window noise (BENCH/BASELINE.md).
+
+Generated {time.strftime('%Y-%m-%d %H:%M:%S')}.
+"""
+        )
+    print(json.dumps({"best": best, "cells": len(cells), "gate": gate}))
+    print(f"wrote {MD_PATH}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,381 @@
+"""Weak-scaling (data-scaling) evidence + scan-bandwidth attribution.
+
+Round-4 verdict #3: core-count scaling (tools/bench_scaling.py) shows
+nothing about how wall-time grows with CORPUS SIZE — the failure mode
+the LSH bucket caps exist to prevent (candidate-pair blowup) is a
+function of data, not cores. This harness runs, at FIXED parallelism
+(local[8], below this host's DRAM ceiling):
+
+* ``--sizes`` (default): the scrub+filter pipeline, MinHash-LSH
+  candidate generation and SimHash near-dup pairs (prod-grade settings)
+  at 1×/4×/16× input (250k / 1M / 4M turns — tpd 50/200/800 over the
+  same sf0.1 documents), recording wall vs rows and candidate-pair
+  counts vs rows. Pass criterion: pipeline wall grows ~linearly with
+  rows; dedup tiers grow sub-quadratically with pairs/row bounded.
+
+* ``--attribution``: round-4 verdict #4 — the direct test of the
+  "MinHash is scan-bandwidth-bound" attribution. Same 2M-turn table,
+  text column truncated to 25% / 50% / 100% of each row's characters,
+  MinHash at local[8], one generation per level. If the stage is
+  scan-bound, walls move ~proportionally with text bytes at fixed
+  parallelism; a wall that ignores text volume would point at a fixed
+  coordination term instead.
+
+Both append generations to BENCH/weak_scaling_history.jsonl and
+regenerate BENCH/WEAK_SCALING.md from the full history (medians across
+generations, same drift discipline as bench_scaling).
+
+Usage:
+  python tools/bench_weak_scaling.py [--sizes] [--attribution] [--reuse]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _wait_for_bandwidth_window  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+CORES = 8
+SIZE_TPDS = (50, 200, 800)  # 250k / 1M / 4M turns at sf0.1
+TRUNC_FRACS = (0.25, 0.5, 1.0)
+ATTR_TPD = 400  # 2M turns — same table the core-scaling harness uses
+HIST_PATH = "/root/repo/BENCH/weak_scaling_history.jsonl"
+MD_PATH = "/root/repo/BENCH/WEAK_SCALING.md"
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "/root/repo")
+cores = int(sys.argv[1]); path = sys.argv[2]; which = sys.argv[3]
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master(f"local[{cores}]")
+    .appName("weak-scaling")
+    .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    .config("spark.sql.files.maxPartitionBytes", "8m")
+    .config("spark.driver.memory", "16g")
+    .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import numpy as _np
+pass_probes = {}
+def _probe():
+    a = _np.zeros(200_000_000 // 8); t0 = time.time(); k = 0
+    while time.time() - t0 < 0.5:
+        _ = a * 1.000001; k += 1
+    return round(k * 0.4 / (time.time() - t0), 2)
+def run_metric(metric, fn, n_passes, warmup=True):
+    if warmup:
+        fn()
+    times = []
+    for _ in range(n_passes):
+        pass_probes.setdefault(metric, []).append(_probe())
+        t0 = time.time(); fn(); times.append(round(time.time() - t0, 3))
+    return times
+
+tdf = spark.read.parquet(path)
+n = tdf.count()
+out = {"rows": n, "text_chars": tdf.agg(
+    F.sum(F.length("text"))).collect()[0][0]}
+
+if "pipeline" in which:
+    from gs_mcp_proxy_pii_redactor_spark.plans import (
+        ScrubJobConfig, build_pipeline)
+    from gs_mcp_proxy_pii_redactor_spark.sources import PARITY_DICTIONARY
+    cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
+    def full_pass():
+        result = build_pipeline(spark, tdf, cfg)
+        result.agg(F.sum(F.col("keep").cast("long")),
+                   F.sum(F.length("text_scrubbed")), F.sum("ppl")).collect()
+    t = run_metric("pipeline", full_pass, 2)
+    out["pipeline_wall"] = min(t); out["pipeline_times"] = t
+
+# dedup tiers over the SAME deterministic 10% sample basis at every
+# size, so pairs/row is comparable across the 1x/4x/16x ladder
+from gs_mcp_proxy_pii_redactor_spark.operators.dedup import (
+    minhash_candidate_pairs, unpersist_minhash_cache, simhash_near_dup_pairs)
+ids = (tdf.withColumn("row_id", F.xxhash64("conv_id", "turn_idx"))
+          .filter(F.pmod(F.col("row_id"), F.lit(10)) == 0))
+n_sample = ids.count()
+out["sample_rows"] = n_sample
+out["sample_text_chars"] = ids.agg(F.sum(F.length("text"))).collect()[0][0]
+
+if "minhash" in which:
+    def minhash_pass():
+        pairs = minhash_candidate_pairs(ids, "row_id", "text", threshold=0.5)
+        c = pairs.count()
+        unpersist_minhash_cache(pairs)
+        return c
+    out["minhash_pairs"] = minhash_pass()  # warm-up + count
+    t = run_metric("minhash", minhash_pass, 2, warmup=False)
+    out["minhash_wall"] = min(t); out["minhash_times"] = t
+
+if "simhash" in which:
+    # prod-grade settings (16-bit chunks, capped buckets) — the 100 TB
+    # shape, NOT the oracle shape (see simhash_near_dup_pairs docstring)
+    def simhash_pass():
+        return simhash_near_dup_pairs(
+            ids, "row_id", "text", max_hamming=3,
+            max_bucket_size=500, chunk_bits=16).count()
+    out["simhash_pairs"] = simhash_pass()  # warm-up + count
+    t = run_metric("simhash", simhash_pass, 2, warmup=False)
+    out["simhash_wall"] = min(t); out["simhash_times"] = t
+
+out["pass_probes"] = pass_probes
+print("WEAKJSON" + json.dumps(out))
+spark.stop()
+"""
+
+
+def materialize(tpd: int, trunc: float | None = None) -> str:
+    tag = f"tpd{tpd}" + (f"_trunc{int(trunc * 100)}" if trunc else "")
+    path = f"/tmp/weak_scaling_{os.path.basename(SF_DIR)}_{tag}"
+    if "--reuse" in sys.argv and os.path.exists(f"{path}/_SUCCESS"):
+        return path
+    from pyspark.sql import SparkSession, functions as F
+
+    from gs_mcp_proxy_pii_redactor_spark.sources import synthesize_transcripts
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = synthesize_transcripts(spark, SF_DIR, tpd)
+    if trunc is not None and trunc < 1.0:
+        df = df.withColumn(
+            "text",
+            F.expr(
+                f"substring(text, 1, cast(ceil(length(text) * {trunc}) as int))"
+            ),
+        )
+    df.repartition(128).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def run_worker(path: str, which: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    gate: list[float] = []
+    _wait_for_bandwidth_window(gate)
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(CORES), path, which],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        env=env,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("WEAKJSON")]
+    if not lines:
+        raise RuntimeError(f"worker failed: {out.stderr[-3000:]}")
+    res = json.loads(lines[-1][len("WEAKJSON"):])
+    res["gate_probes"] = gate
+    return res
+
+
+def load_history() -> list[dict]:
+    if not os.path.exists(HIST_PATH):
+        return []
+    with open(HIST_PATH) as fh:
+        return [json.loads(ln) for ln in fh if ln.strip()]
+
+
+def _append(entry: dict) -> None:
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    entry["t"] = round(time.time(), 1)
+    with open(HIST_PATH, "a") as fh:
+        fh.write(json.dumps(entry) + "\n")
+
+
+def _median(v):
+    return round(statistics.median(v), 3) if v else None
+
+
+def write_report(history: list[dict]) -> None:
+    sizes = [e for e in history if e.get("kind") == "sizes"]
+    attrs = [e for e in history if e.get("kind") == "attribution"]
+
+    def growth(e, metric, hi, lo):
+        """wall growth factor between two tpd levels of one generation."""
+        try:
+            return round(
+                e["levels"][str(hi)][f"{metric}_wall"]
+                / e["levels"][str(lo)][f"{metric}_wall"],
+                2,
+            )
+        except (KeyError, ZeroDivisionError):
+            return None
+
+    lines = [
+        "# BENCH/WEAK_SCALING — data-scaling + scan-attribution evidence",
+        "",
+        "Companion to BENCH/BASELINE.md (core-count scaling). Fixed",
+        f"parallelism local[{CORES}] — below this host's DRAM ceiling —",
+        "input size and text volume varied instead. Methodology",
+        "(probe-gated launches, per-pass probes, medians across",
+        "generations) as in tools/bench_scaling.py.",
+        "",
+        "## Weak scaling: 1× / 4× / 16× input (250k / 1M / 4M turns)",
+        "",
+        "Pass criterion: pipeline wall ~linear in rows (4× rows → ~4×",
+        "wall); dedup tiers sub-quadratic with candidate pairs/row",
+        "bounded (the bucket caps' contract). Dedup tiers run on the",
+        "same deterministic 10% sample basis at every size.",
+        "",
+    ]
+    for i, e in enumerate(sizes):
+        lines.append(
+            f"### sizes generation {i + 1} "
+            f"(gate probes: { {k: v['gate_probes'] for k, v in e['levels'].items()} })"
+        )
+        lines.append("")
+        lines.append(
+            "| tpd | rows | pipeline wall (s) | minhash wall (s) | "
+            "mh pairs | mh pairs/row | simhash wall (s) | sh pairs | "
+            "sh pairs/row |"
+        )
+        lines.append("|---|---|---|---|---|---|---|---|---|")
+        for tpd in SIZE_TPDS:
+            lv = e["levels"].get(str(tpd))
+            if not lv:
+                continue
+            sr = lv["sample_rows"]
+            lines.append(
+                f"| {tpd} | {lv['rows']:,} | {lv.get('pipeline_wall')} | "
+                f"{lv.get('minhash_wall')} | {lv.get('minhash_pairs'):,} | "
+                f"{round(lv.get('minhash_pairs', 0) / sr, 4)} | "
+                f"{lv.get('simhash_wall')} | {lv.get('simhash_pairs'):,} | "
+                f"{round(lv.get('simhash_pairs', 0) / sr, 4)} |"
+            )
+        lines.append("")
+        lines.append(
+            f"Wall growth 250k→1M (rows ×4): pipeline "
+            f"{growth(e, 'pipeline', 200, 50)}× · minhash "
+            f"{growth(e, 'minhash', 200, 50)}× · simhash "
+            f"{growth(e, 'simhash', 200, 50)}×; 1M→4M (rows ×4): pipeline "
+            f"{growth(e, 'pipeline', 800, 200)}× · minhash "
+            f"{growth(e, 'minhash', 800, 200)}× · simhash "
+            f"{growth(e, 'simhash', 800, 200)}×."
+        )
+        lines.append("")
+
+    if sizes:
+        med = {
+            m: {
+                pair: _median(
+                    [
+                        g
+                        for g in (
+                            growth(e, m, hi, lo) for e in sizes
+                        )
+                        if g is not None
+                    ]
+                )
+                for pair, (lo, hi) in {
+                    "1x_4x": (50, 200),
+                    "4x_16x": (200, 800),
+                }.items()
+            }
+            for m in ("pipeline", "minhash", "simhash")
+        }
+        lines += [
+            f"**Medians over {len(sizes)} generation(s)** — wall growth per "
+            "4× rows (linear = 4.0, quadratic = 16.0):",
+            "",
+            "| metric | 250k→1M | 1M→4M |",
+            "|---|---|---|",
+        ] + [
+            f"| {m} | {med[m]['1x_4x']} | {med[m]['4x_16x']} |"
+            for m in ("pipeline", "minhash", "simhash")
+        ] + [""]
+
+    lines += [
+        "## Scan-bandwidth attribution: text volume × MinHash wall",
+        "",
+        "Round 4 REFUTED the signature-traffic attribution for MinHash's",
+        "sub-0.8 core-scaling median (32-bit signatures moved nothing);",
+        "the revised claim is that the stage is bound by streaming the",
+        "text column through tokenize → shingle → xxhash64. Direct test:",
+        "same 2M-turn table, text truncated per-row to 25% / 50% / 100%,",
+        f"MinHash at local[{CORES}]. Scan-bound ⇒ wall ≈ proportional to",
+        "text bytes; a flat wall would indict a fixed coordination term.",
+        "",
+    ]
+    for i, e in enumerate(attrs):
+        lines.append(f"### attribution generation {i + 1}")
+        lines.append("")
+        lines.append(
+            "| text kept | sample text chars | minhash wall (s) | "
+            "wall / chars (ns) | pre-pass probes GB/s |"
+        )
+        lines.append("|---|---|---|---|---|")
+        for frac in TRUNC_FRACS:
+            lv = e["levels"].get(str(frac))
+            if not lv:
+                continue
+            chars = lv["sample_text_chars"]
+            lines.append(
+                f"| {int(frac * 100)}% | {chars:,} | {lv['minhash_wall']} | "
+                f"{round(lv['minhash_wall'] / chars * 1e9, 2)} | "
+                f"{lv['pass_probes'].get('minhash')} |"
+            )
+        lines.append("")
+        try:
+            w25 = e["levels"]["0.25"]["minhash_wall"]
+            w50 = e["levels"]["0.5"]["minhash_wall"]
+            w100 = e["levels"]["1.0"]["minhash_wall"]
+            lines.append(
+                f"Wall ratios: 100%/25% = {round(w100 / w25, 2)} "
+                f"(chars ratio 4.0), 100%/50% = {round(w100 / w50, 2)} "
+                "(chars ratio 2.0). Ratios tracking the chars ratios ⇒ "
+                "scan-bound, confirming the attribution; ratios near 1 ⇒ "
+                "fixed-cost-bound, refuting it."
+            )
+        except KeyError:
+            pass
+        lines.append("")
+
+    lines.append(f"Generated {time.strftime('%Y-%m-%d %H:%M:%S')}.")
+    with open(MD_PATH, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {MD_PATH}")
+
+
+def main() -> None:
+    do_sizes = "--sizes" in sys.argv or "--attribution" not in sys.argv
+    do_attr = "--attribution" in sys.argv
+
+    if do_sizes:
+        levels = {}
+        for tpd in SIZE_TPDS:
+            path = materialize(tpd)
+            levels[str(tpd)] = run_worker(path, "pipeline,minhash,simhash")
+            print(tpd, json.dumps(levels[str(tpd)]))
+        _append({"kind": "sizes", "cores": CORES, "sf": SF_DIR,
+                 "levels": levels})
+
+    if do_attr:
+        levels = {}
+        for frac in TRUNC_FRACS:
+            path = materialize(ATTR_TPD, trunc=frac)
+            levels[str(frac)] = run_worker(path, "minhash")
+            print(frac, json.dumps(levels[str(frac)]))
+        _append({"kind": "attribution", "cores": CORES, "sf": SF_DIR,
+                 "tpd": ATTR_TPD, "levels": levels})
+
+    write_report(load_history())
+
+
+if __name__ == "__main__":
+    main()
