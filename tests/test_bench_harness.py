@@ -1,0 +1,106 @@
+"""Unit pins for the scaling-evidence harness (no Spark).
+
+The pre-registered inclusion rule and the per-pair efficiency math in
+tools/bench_scaling.py are themselves evidence-bearing code: a bug
+there silently corrupts BENCH/BASELINE.md. These tests freeze the
+rule's semantics with synthetic history entries."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, "/root/repo")
+
+import importlib
+
+
+def _bs():
+    old = sys.argv
+    sys.argv = ["bench_scaling.py", "/root/testdata/sf0.1", "400"]
+    try:
+        import bench_scaling
+
+        return importlib.reload(bench_scaling)
+    finally:
+        sys.argv = old
+
+
+BS = _bs()
+
+
+def entry(mode="local", gate=None, pass_probes=None, rps=None, extra_lv=None):
+    gate = gate or {"2": [5.0], "8": [5.0]}
+    rps = rps or {"2": 100.0, "8": 320.0}
+    lv = {}
+    for l, r in rps.items():
+        lv[l] = {
+            "rows_per_sec": r,
+            "pass_probes": (pass_probes or {}).get(
+                l, {"pipeline": [3.0, 3.0, 3.0]}
+            ),
+        }
+        if extra_lv:
+            lv[l].update(extra_lv.get(l, {}))
+    return {
+        "sf": "/root/testdata/sf0.1",
+        "tpd": 400,
+        "mode": mode,
+        "versions": dict(BS.VERSIONS),
+        "levels": lv,
+        "gate_probes": gate,
+    }
+
+
+def test_qualifies_requires_healthy_gate_and_worker_probes():
+    e = entry()
+    assert BS.qualifies(e, "pipeline", "2_8")
+    # gate ended below threshold at one level → out
+    bad_gate = entry(gate={"2": [0.4], "8": [5.0]})
+    assert not BS.qualifies(bad_gate, "pipeline", "2_8")
+    # gate trail that ENDS healthy after waits still qualifies
+    waited = entry(gate={"2": [0.3, 0.5, 2.4], "8": [5.0]})
+    assert BS.qualifies(waited, "pipeline", "2_8")
+    # one collapsed pre-pass worker probe → out
+    bad_pass = entry(
+        pass_probes={"2": {"pipeline": [3.0, 0.4, 3.0]}}
+    )
+    assert not BS.qualifies(bad_pass, "pipeline", "2_8")
+    # legacy entries (no pass_probes / list-shaped gate) never qualify
+    legacy = entry()
+    for l in legacy["levels"].values():
+        del l["pass_probes"]
+    assert not BS.qualifies(legacy, "pipeline", "2_8")
+    assert not BS.qualifies({"gate_probes": [1.0]}, "pipeline", "2_8")
+
+
+def test_gen_efficiencies_pairs_are_independent_and_split():
+    # a two-level generation must still contribute its 2→8 pair
+    hist = [
+        entry(),  # qualifies: eff = (320/100)/4 = 0.8
+        entry(gate={"2": [0.3], "8": [5.0]}, rps={"2": 100.0, "8": 400.0}),
+    ]
+    out = BS.gen_efficiencies(hist, "pipeline", "local")
+    assert out["all"]["2_8"] == [0.8, 1.0]
+    assert out["qual"]["2_8"] == [0.8]  # second entry failed the gate
+    assert out["all"]["8_32"] == []  # no level 32 anywhere — no crash
+
+
+def test_mode_separation():
+    hist = [entry(mode="local"), entry(mode="local-cluster")]
+    assert len(BS.gen_efficiencies(hist, "pipeline", "local")["all"]["2_8"]) == 1
+    assert (
+        len(BS.gen_efficiencies(hist, "pipeline", "local-cluster")["all"]["2_8"])
+        == 1
+    )
+    # legacy entries without a mode field count as local
+    legacy = entry()
+    del legacy["mode"]
+    assert BS.compatible(legacy, "pipeline", "local")
+    assert not BS.compatible(legacy, "pipeline", "local-cluster")
+
+
+def test_version_mismatch_excluded():
+    e = entry()
+    e["versions"]["pipeline"] = 999
+    assert not BS.compatible(e, "pipeline", "local")
