@@ -74,6 +74,22 @@ def test_qualifies_requires_healthy_gate_and_worker_probes():
     assert not BS.qualifies({"gate_probes": [1.0]}, "pipeline", "2_8")
 
 
+def test_gate_healthy_posthoc_is_term1_only_on_round5_entries():
+    # in-worker probes collapsed but gates healthy → gate-healthy holds
+    e = entry(pass_probes={"2": {"pipeline": [0.2, 0.2, 0.2]},
+                           "8": {"pipeline": [0.3, 0.3, 0.3]}})
+    assert not BS.qualifies(e, "pipeline", "2_8")
+    assert BS.gate_healthy(e, "2_8")
+    # gate expired at one level → out
+    assert not BS.gate_healthy(entry(gate={"2": [0.4], "8": [5.0]}), "2_8")
+    # legacy entries (no in-worker probes anywhere) are NOT candidates —
+    # the post-hoc set must stay comparable to the registered rule's
+    legacy = entry()
+    for l in legacy["levels"].values():
+        del l["pass_probes"]
+    assert not BS.gate_healthy(legacy, "2_8")
+
+
 def test_gen_efficiencies_pairs_are_independent_and_split():
     # a two-level generation must still contribute its 2→8 pair
     hist = [

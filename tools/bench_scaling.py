@@ -336,6 +336,31 @@ def qualifies(entry: dict, metric: str, pair: str) -> bool:
     return True
 
 
+def gate_healthy(entry: dict, pair: str) -> bool:
+    """POST-HOC secondary conditioning — term 1 of the registered rule
+    only (both pre-launch gate trails end healthy). Measured round-5
+    finding: the in-worker numpy probe systematically under-reads while
+    an (idle) JVM is resident in the same process tree — generations
+    whose gates read 3-8 GB/s record in-worker probes of 0.1-0.4 — so
+    term 2 conditions on the instrument, not the host. This weaker
+    conditioning is reported SEPARATELY and labeled post-hoc; the
+    registered rule's result is never replaced."""
+    gates = entry.get("gate_probes")
+    if not isinstance(gates, dict):
+        return False
+    # only round-5+ entries (those carrying in-worker probes) — keeps
+    # this comparable to the registered rule's candidate set
+    if not any(
+        "pass_probes" in lv for lv in entry.get("levels", {}).values()
+    ):
+        return False
+    lo, hi = PAIRS[pair]
+    return all(
+        gates.get(lvl) and gates[lvl][-1] >= HEALTHY_LAUNCH_GBPS
+        for lvl in (lo, hi)
+    )
+
+
 def gen_efficiencies(
     history: list[dict], metric: str, mode: str = MODE
 ) -> dict[str, dict[str, list[float]]]:
@@ -346,6 +371,7 @@ def gen_efficiencies(
     out = {
         "all": {p: [] for p in PAIRS},
         "qual": {p: [] for p in PAIRS},
+        "gate": {p: [] for p in PAIRS},  # post-hoc term-1-only
     }
     for e in history:
         if not compatible(e, metric, mode):
@@ -359,6 +385,8 @@ def gen_efficiencies(
             out["all"][pair].append(eff)
             if qualifies(e, metric, pair):
                 out["qual"][pair].append(eff)
+            if gate_healthy(e, pair):
+                out["gate"][pair].append(eff)
     return out
 
 
@@ -475,6 +503,8 @@ def write_report(history, bwidth, results=None, probes=None) -> None:
                 "med_all": {p: _median(v) for p, v in effs["all"].items()},
                 "med_qual": {p: _median(v) for p, v in effs["qual"].items()},
                 "n_qual": {p: len(v) for p, v in effs["qual"].items()},
+                "med_gate": {p: _median(v) for p, v in effs["gate"].items()},
+                "n_gate": {p: len(v) for p, v in effs["gate"].items()},
                 "best": best_per_level(history, m, mode),
             }
         stats[mode] = per
@@ -496,6 +526,8 @@ def write_report(history, bwidth, results=None, probes=None) -> None:
                 "eff_2_8_median_all": s["med_all"]["2_8"],
                 "eff_2_8_median_qualifying": s["med_qual"]["2_8"],
                 "n_qualifying": s["n_qual"]["2_8"],
+                "eff_2_8_median_gate_healthy_posthoc": s["med_gate"]["2_8"],
+                "n_gate_healthy": s["n_gate"]["2_8"],
             }
     print(json.dumps(summary))
 
@@ -509,11 +541,12 @@ def write_report(history, bwidth, results=None, probes=None) -> None:
         rows = []
         for m in METRICS:
             s = per[m]
-            if s["n"] == 0:
+            if s["n"] == 0 or not s["best"]:
                 continue
             rows.append(
                 f"| {m} | {s['n']} | {s['med_all']['2_8']} | "
                 f"{s['med_qual']['2_8']} | {s['n_qual']['2_8']} | "
+                f"{s['med_gate']['2_8']} | {s['n_gate']['2_8']} | "
                 f"{s['med_all']['8_32']} | "
                 + " · ".join(
                     f"{s['best'].get(c, 0):,.0f}" for c in ("2", "8", "32")
@@ -523,19 +556,22 @@ def write_report(history, bwidth, results=None, probes=None) -> None:
         detail = []
         for m in METRICS:
             s = per[m]
-            if s["n"] == 0:
+            if s["n"] == 0 or not s["best"]:
                 continue
             detail.append(
                 f"* **{m}** 2→8 per-generation: all = "
-                f"{fmt_list(s['effs']['all']['2_8'])}; qualifying = "
-                f"{fmt_list(s['effs']['qual']['2_8'])}"
+                f"{fmt_list(s['effs']['all']['2_8'])}; registered-rule "
+                f"qualifying = {fmt_list(s['effs']['qual']['2_8'])}; "
+                f"gate-healthy (post-hoc) = "
+                f"{fmt_list(s['effs']['gate']['2_8'])}"
             )
         return (
             f"## {title}\n\n"
-            "| metric | gens | 2→8 median (all) | 2→8 median (qualifying) "
-            "| n qual | 8→32 median (all) | best rows/s @2·8·32 |\n"
-            "|---|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n\n"
-            + "\n".join(detail) + "\n"
+            "| metric | gens | 2→8 median (all) | 2→8 med (registered rule) "
+            "| n | 2→8 med (gate-healthy, post-hoc) | n | "
+            "8→32 median (all) | best rows/s @2·8·32 |\n"
+            "|---|---|---|---|---|---|---|---|---|\n" + "\n".join(rows)
+            + "\n\n" + "\n".join(detail) + "\n"
         )
 
     this_gen = ""
@@ -604,6 +640,18 @@ memory wall excluded from the sample — the quantity a real cluster
 in-worker probes and can never qualify; they feed only the
 unconditioned median. Neither median is ever deleted: both are
 reported, with per-generation values for audit.
+
+**Measured instrument finding (round 5), and a post-hoc secondary
+conditioning.** Running the rule revealed that its term 2 conditions on
+the probe instrument, not the host: generations whose pre-launch gates
+(no JVM alive) read 3-8 GB/s record in-worker probes of only 0.1-0.4
+GB/s once an — idle — executor JVM is resident in the process tree, so
+term 2 is systematically unsatisfiable and the registered rule's
+qualifying set is empty by construction (n=0 below — reported, not
+hidden). The tables therefore ALSO show a weaker conditioning clearly
+labeled POST-HOC: term 1 alone (both gate trails end ≥ the threshold),
+restricted to round-5+ generations so the candidate set matches the
+registered rule's. The registered-rule column is never replaced by it.
 
 {this_gen}
 {mode_section("local-cluster",
