@@ -301,6 +301,19 @@ def write_report(history: list[dict]) -> None:
         ] + [""]
 
     lines += [
+        "### Reading the pairs columns",
+        "",
+        "`pairs/row` RISES with tpd by construction of the input, not",
+        "because the operator goes quadratic: transcript turns are",
+        "overlapping windows over the same document text, so a higher",
+        "turns-per-doc factor makes the corpus itself denser in true",
+        "near-duplicates (every extra turn overlaps its neighbors). The",
+        "operator-side evidence is the WALL growth staying ≈4× per 4×",
+        "rows while true pair density grows ~16×: signature build",
+        "dominates and the band-bucket join (bucket-capped) absorbs the",
+        "extra candidates without a quadratic term. On a deduplicated",
+        "real corpus pair density is flat, so this is the harder case.",
+        "",
         "## Scan-bandwidth attribution: text volume × MinHash wall",
         "",
         "Round 4 REFUTED the signature-traffic attribution for MinHash's",
