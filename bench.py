@@ -36,9 +36,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TURNS_PER_DOC = int(os.environ.get("BENCH_TURNS_PER_DOC", "50"))
 HEADLINE_JVMS = int(os.environ.get("BENCH_HEADLINE_JVMS", "3"))
+# Probe instrument v2 (round 6). The v1 probe allocated a fresh 200MB
+# result array EVERY iteration, so it measured the kernel's
+# mmap/zero-fill fault path, not DRAM streaming: on this host it reads
+# 0.1-8 GB/s with 30-90× swings between consecutive calls in the same
+# process (measured round 6, BENCH/PROBE_V2.md) while the true
+# streaming rate is a stable 12-24 GB/s. v2 streams through
+# PREALLOCATED, pre-faulted buffers — same 0.4 GB/iteration accounting
+# (200MB read + 200MB written; write-allocate traffic not counted,
+# matching the v1 convention). Thresholds are recalibrated for the new
+# instrument: healthy single-process streaming on this host is
+# 12-24 GB/s, so the gate asks for 8.0.
+PROBE_VERSION = 2
 # one threshold governs BOTH gates (launcher wait + in-worker pre-pass
 # probe) — the env knob is interpolated into the worker script below
-BW_HEALTHY_GBPS = float(os.environ.get("BENCH_BW_HEALTHY_GBPS", "2.0"))
+BW_HEALTHY_GBPS = float(os.environ.get("BENCH_BW_HEALTHY_GBPS", "8.0"))
 BW_MAX_WAITS = int(os.environ.get("BENCH_BW_MAX_WAITS", "8"))
 # The per-query gate has its own (smaller) wait budget: it fires once
 # per timed run of ~13 queries, so the launcher's 8-wait budget would
@@ -70,15 +82,19 @@ def full_pass():
     result.agg(F.sum(F.col("keep").cast("long")), F.sum(F.length("text_scrubbed")),
                F.sum("ppl")).collect()
 import numpy as _np
+_pa = _np.zeros(200_000_000 // 8); _pb = _np.zeros_like(_pa)
+_np.multiply(_pa, 1.000001, out=_pb)  # pre-fault both buffers
 def _probe():
-    # 200MB read + 200MB result write per iteration = 0.4 GB traffic
-    # (same unit as the launcher's _bandwidth_probe_gbps)
-    a = _np.zeros(200_000_000 // 8); t0 = time.time(); k = 0
+    # probe v2: streams through PREALLOCATED buffers — 200MB read +
+    # 200MB written = 0.4 GB/iteration (same accounting as the
+    # launcher's _bandwidth_probe_gbps; see bench.py PROBE_VERSION)
+    t0 = time.time(); k = 0
     while time.time() - t0 < 0.5:
-        _ = a * 1.000001; k += 1
+        _np.multiply(_pa, 1.000001, out=_pb); k += 1
     return round(k * 0.4 / (time.time() - t0), 2)
 full_pass()  # warm-up: worker spawn, imports, codegen JIT
 times, probes = [], []
+collapsed = 0
 for _ in range(3):
     # probe at the timing moment (the pre-launch gate is minutes stale
     # by now on this drifting host); one bounded retry per pass, BOTH
@@ -87,9 +103,12 @@ for _ in range(3):
     probes.append(bw)
     if bw < %(bw_healthy)s:
         time.sleep(15)
-        probes.append(_probe())
+        bw = _probe(); probes.append(bw)
+    if bw < %(bw_healthy)s:
+        collapsed += 1  # pass started in a still-unhealthy window
     t0 = time.time(); full_pass(); times.append(round(time.time() - t0, 3))
-print("BENCHJSON" + json.dumps({"times": times, "probes": probes}))
+print("BENCHJSON" + json.dumps({"times": times, "probes": probes,
+                                "collapsed_passes": collapsed}))
 spark.stop()
 """ % {
     "repo": os.path.dirname(os.path.abspath(__file__)),
@@ -97,33 +116,47 @@ spark.stop()
 }
 
 
+_PROBE_BUFS = None
+
+
 def _bandwidth_probe_gbps() -> float:
-    """Single-process DRAM stream rate (GB/s) — drift normalizer."""
+    """Single-process DRAM stream rate (GB/s), probe v2: preallocated,
+    pre-faulted buffers (the v1 per-iteration allocation measured the
+    mmap/zero-fill fault path — 0.1-8 GB/s with 30-90× call-to-call
+    swings — not memory bandwidth; see PROBE_VERSION above)."""
+    global _PROBE_BUFS
     import numpy as np
 
-    a = np.zeros(200_000_000 // 8)
+    if _PROBE_BUFS is None:
+        a = np.zeros(200_000_000 // 8)
+        b = np.zeros_like(a)
+        np.multiply(a, 1.000001, out=b)  # pre-fault both buffers
+        _PROBE_BUFS = (a, b)
+    a, b = _PROBE_BUFS
     t0 = time.time()
     k = 0
     while time.time() - t0 < 1.0:
-        _ = a * 1.000001
+        np.multiply(a, 1.000001, out=b)
         k += 1
     return round(k * 0.4 / (time.time() - t0), 2)
 
 
-def _wait_for_bandwidth_window(probes: list[float]) -> None:
-    """Round-2 verdict #6: a JVM that starts inside a collapsed DRAM
-    window (this host drifts 5-30×, sometimes to 0.2 GB/s) records a
-    meaningless sample. Re-probe before each JVM and wait (bounded) for
-    the healthy band; every probe is recorded so a reader can audit the
-    gating. Proceeds regardless after BW_MAX_WAITS — a long collapse
-    must not deadlock the bench."""
+def _wait_for_bandwidth_window(probes: list[float]) -> bool:
+    """Round-2 verdict #6: a JVM that starts inside a degraded memory
+    window records a meaningless sample. Re-probe before each JVM and
+    wait (bounded) for the healthy band; every probe is recorded so a
+    reader can audit the gating. Proceeds regardless after BW_MAX_WAITS
+    — a long collapse must not deadlock the bench. Returns True iff the
+    final probe was healthy (False = the wait budget expired and the
+    caller is proceeding inside a degraded window)."""
     for i in range(BW_MAX_WAITS):
         bw = _bandwidth_probe_gbps()
         probes.append(bw)
         if bw >= BW_HEALTHY_GBPS:
-            return
+            return True
         if i < BW_MAX_WAITS - 1:  # no point sleeping after the last probe
             time.sleep(20)
+    return False
 
 
 def headline_scrub_separate_jvms(tmp_path: str, n_jvms: int) -> dict:
@@ -131,6 +164,7 @@ def headline_scrub_separate_jvms(tmp_path: str, n_jvms: int) -> dict:
     launched only inside a healthy-bandwidth window (bounded wait)."""
     samples: list[float] = []
     probes: list[float] = []
+    collapsed = 0  # worker passes whose final pre-pass probe was degraded
     for _ in range(n_jvms):
         _wait_for_bandwidth_window(probes)
         out = subprocess.run(
@@ -147,7 +181,19 @@ def headline_scrub_separate_jvms(tmp_path: str, n_jvms: int) -> dict:
         payload = json.loads(lines[-1][len("BENCHJSON"):])
         samples.extend(payload["times"])
         probes.extend(payload.get("probes", []))
-    return {"best": min(samples), "samples": samples, "bw_probes": probes}
+        collapsed += payload.get("collapsed_passes", 0)
+    return {
+        "best": min(samples),
+        "samples": samples,
+        "bw_probes": probes,
+        "collapsed": collapsed,
+    }
+
+
+def _window_collapsed(collapse_counts: dict[str, list[int]]) -> bool:
+    """True iff any query's every timed run started degraded (its
+    best-of-N number is then a collapsed-window sample)."""
+    return any(c[0] >= c[1] for c in collapse_counts.values())
 
 
 def build_spark(cpus: int):
@@ -197,6 +243,9 @@ def run_bench(spark, sf_dir: str, turns_per_doc: int = TURNS_PER_DOC):
     timings: dict[str, float] = {}
     extras: dict = {}
     query_probes: dict[str, list[float]] = {}
+    # name -> [runs that started degraded, total timed runs]; a query's
+    # best-of-N sample is only untrusted when EVERY run started degraded
+    collapse_counts: dict[str, list[int]] = {}
 
     def timed(name, fn, runs: int = 2):
         # best-of-N: this sandbox's memory subsystem is noisy (see
@@ -219,6 +268,10 @@ def run_bench(spark, sf_dir: str, turns_per_doc: int = TURNS_PER_DOC):
                 waits += 1
                 bw = _bandwidth_probe_gbps()
                 probes.append(bw)
+            counts = collapse_counts.setdefault(name, [0, 0])
+            counts[1] += 1  # runs
+            if bw < BW_HEALTHY_GBPS:  # budget expired inside a collapse
+                counts[0] += 1  # runs that started degraded
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
@@ -260,6 +313,11 @@ def run_bench(spark, sf_dir: str, turns_per_doc: int = TURNS_PER_DOC):
         timings["scrub_pipeline"] = round(head["best"], 3)
         extras["scrub_samples"] = head["samples"]
         extras["scrub_bw_probes"] = head["bw_probes"]
+        if head.get("collapsed"):
+            collapse_counts["scrub_pipeline"] = [
+                head["collapsed"],
+                len(head["samples"]),
+            ]
         spark = build_spark(CPUS)
         spark.sparkContext.setLogLevel("ERROR")
         tdf = spark.read.parquet(tmp)
@@ -324,6 +382,18 @@ def run_bench(spark, sf_dir: str, turns_per_doc: int = TURNS_PER_DOC):
 
     shutil.rmtree(tmp, ignore_errors=True)
     extras["query_bw_probes"] = query_probes
+    # Round-5 verdict #3: a bench run whose wait budgets expired inside a
+    # degraded window must self-describe — r5's per-query numbers all ran
+    # after expiries and were misread as operator regressions. A query's
+    # recorded number is best-of-N, so it is only UNTRUSTED when every
+    # one of its runs started degraded; window_collapsed is true iff any
+    # query is in that state (detail: per-query [degraded, total] runs).
+    extras["window_collapsed"] = _window_collapsed(collapse_counts)
+    extras["collapsed_measurements"] = {
+        k: {"degraded_runs": c[0], "total_runs": c[1]}
+        for k, c in collapse_counts.items()
+    }
+    extras["probe_version"] = PROBE_VERSION
     return timings, extras
 
 

@@ -7,21 +7,24 @@ rule's semantics with synthetic history entries."""
 
 from __future__ import annotations
 
+import importlib.util
 import sys
-
-sys.path.insert(0, "/root/repo/tools")
-sys.path.insert(0, "/root/repo")
-
-import importlib
 
 
 def _bs():
+    """Load tools/bench_scaling.py by explicit file path — inserting
+    /root/repo/tools into sys.path at collection time left every tools/
+    module importable as a top-level name for the rest of the session
+    (round-5 advice)."""
     old = sys.argv
     sys.argv = ["bench_scaling.py", "/root/testdata/sf0.1", "400"]
     try:
-        import bench_scaling
-
-        return importlib.reload(bench_scaling)
+        spec = importlib.util.spec_from_file_location(
+            "bench_scaling_under_test", "/root/repo/tools/bench_scaling.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
     finally:
         sys.argv = old
 
@@ -120,3 +123,94 @@ def test_version_mismatch_excluded():
     e = entry()
     e["versions"]["pipeline"] = 999
     assert not BS.compatible(e, "pipeline", "local")
+
+
+def v2_entry(gate=None, pass_probes=None, rps=None):
+    e = entry(
+        gate=gate or {"2": [12.0], "8": [9.5]},
+        pass_probes=pass_probes
+        or {
+            "2": {"pipeline": [15.0, 13.0, 14.0]},
+            "8": {"pipeline": [12.0, 18.0, 16.0]},
+        },
+        rps=rps,
+    )
+    e["probe_version"] = 2
+    return e
+
+
+def test_rule_v2_requires_probe_v2_entries():
+    # a v1 entry can never qualify under v2, however healthy its probes
+    v1 = entry(gate={"2": [12.0], "8": [12.0]},
+               pass_probes={"2": {"pipeline": [15.0] * 3},
+                            "8": {"pipeline": [15.0] * 3}})
+    assert not BS.qualifies_v2(v1, "pipeline", "2_8")
+    assert BS.qualifies_v2(v2_entry(), "pipeline", "2_8")
+    # and the v1-era columns are frozen: v2 entries feed neither the v1
+    # rule nor the post-hoc gate-healthy conditioning
+    assert not BS.qualifies(v2_entry(), "pipeline", "2_8")
+    assert not BS.gate_healthy(v2_entry(), "2_8")
+
+
+def test_rule_v2_thresholds():
+    # gate ending below 8.0 at either level → out (even though it would
+    # clear the v1 threshold of 2.0)
+    assert not BS.qualifies_v2(
+        v2_entry(gate={"2": [7.9], "8": [12.0]}), "pipeline", "2_8"
+    )
+    # gate trail that ENDS healthy after waits still qualifies
+    assert BS.qualifies_v2(
+        v2_entry(gate={"2": [0.3, 9.0], "8": [12.0]}), "pipeline", "2_8"
+    )
+    # one pre-pass worker probe below 5.0 → out
+    assert not BS.qualifies_v2(
+        v2_entry(
+            pass_probes={
+                "2": {"pipeline": [15.0, 4.9, 14.0]},
+                "8": {"pipeline": [12.0] * 3},
+            }
+        ),
+        "pipeline",
+        "2_8",
+    )
+
+
+def test_gen_efficiencies_v2_bucket():
+    hist = [
+        v2_entry(rps={"2": 100.0, "8": 340.0}),  # v2-qualifies: 0.85
+        v2_entry(gate={"2": [0.4], "8": [9.0]},  # gate expired: all only
+                 rps={"2": 100.0, "8": 400.0}),
+        entry(),  # v1 entry: qualifies under v1 (0.8), not v2
+    ]
+    out = BS.gen_efficiencies(hist, "pipeline", "local")
+    assert out["all"]["2_8"] == [0.85, 1.0, 0.8]
+    assert out["v2"]["2_8"] == [0.85]
+    assert out["qual"]["2_8"] == [0.8]
+
+
+def test_bench_wait_window_reports_expiry(monkeypatch):
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "_bandwidth_probe_gbps", lambda: 0.1)
+    probes: list[float] = []
+    assert bench._wait_for_bandwidth_window(probes) is False
+    assert len(probes) == bench.BW_MAX_WAITS
+    monkeypatch.setattr(bench, "_bandwidth_probe_gbps", lambda: 99.0)
+    probes = []
+    assert bench._wait_for_bandwidth_window(probes) is True
+    assert probes == [99.0]
+    assert bench.PROBE_VERSION == 2
+
+
+def test_bench_window_collapsed_semantics():
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    # best-of-N: one degraded run out of two does NOT invalidate a query
+    assert not bench._window_collapsed({"q1": [1, 2]})
+    # every run degraded → the recorded best is a collapsed sample
+    assert bench._window_collapsed({"q1": [2, 2]})
+    assert bench._window_collapsed({"q1": [1, 2], "scrub": [9, 9]})
+    assert not bench._window_collapsed({})

@@ -1,0 +1,108 @@
+"""SURVEY.md §5 item 5 — idempotence / fixed-point properties on the
+SPARK path (tests/test_properties.py covers the kernel in-process).
+
+Round-6 measured finding: the scrubber is NOT idempotent on dense
+digit walls. Redacting a phone match terminates the digit run with
+'[', which changes the phone scanner's separator context and exposes a
+NEW tail match on the next pass (each pass peels roughly one
+phone-length chunk; 615 of 13,216 differential-corpus inputs diverge,
+every one of them a generated digit-wall adversarial input — zero
+realistic strings). This is reference parity, not a port bug: the
+scanner is a byte-parity port of scanner-generic.ts scanPhoneAt
+(greedy separators + mid-run restart), and the JS differential suite
+now includes a "[REDACTED]"-spliced digit-wall family
+(tests/test_reference_differential.py) that pins the second-pass
+behavior against the reference's own code.
+
+So the properties actually asserted here are:
+
+1. the vectorized pandas-UDF path agrees with the in-process kernel on
+   BOTH passes over the full 13k corpus (Arrow round-trip included);
+2. divergence between pass 1 and pass 2 is confined to digit-wall
+   inputs — scrub(scrub(x)) == scrub(x) for every input without a long
+   digit run;
+3. entry()'s text_scrubbed output (realistic transcript text) is a
+   true fixed point of the kernel scrubber — no PII pattern the engine
+   knows survives its own pipeline.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import re
+
+from pyspark.sql import functions as F
+
+
+def _corpus():
+    spec = importlib.util.spec_from_file_location(
+        "ref_differential_corpus",
+        "/root/repo/tests/test_reference_differential.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod._build_corpus()
+
+
+# a "digit wall": ≥19 chars of digits/phone-separator alphabet after a
+# digit — the only family where pass-2 divergence is expected (and
+# reference-parity); realistic text never looks like this
+_DIGIT_WALL = re.compile(r"[0-9][0-9 ().+x\[\]REDACTED-]{18,}")
+
+
+def test_scrub_udf_double_pass_matches_kernel_and_scopes_idempotence(spark):
+    from gs_mcp_proxy_pii_redactor_spark.functions.udfs import make_scrub_udf
+    from gs_mcp_proxy_pii_redactor_spark.kernel.matcher import Matcher
+    from gs_mcp_proxy_pii_redactor_spark.kernel.service import redact_text
+
+    dictionary, inputs = _corpus()
+    assert len(inputs) >= 13_000
+    matcher = Matcher(list(dictionary))
+    k1 = [redact_text(t, matcher) for t in inputs]
+    k2 = [redact_text(s, matcher) for s in k1]
+
+    scrub = make_scrub_udf(tuple(dictionary), spark)
+    df = spark.createDataFrame(
+        list(enumerate(inputs)), "i long, text string"
+    ).repartition(8)
+    rows = (
+        df.select("i", scrub(F.col("text")).alias("s1"))
+        .select("i", "s1", scrub(F.col("s1")).alias("s2"))
+        .orderBy("i")
+        .collect()
+    )
+    # (1) the Spark path is byte-faithful to the kernel on both passes
+    assert [r["s1"] for r in rows] == k1
+    assert [r["s2"] for r in rows] == k2
+
+    # (2) non-idempotence is confined to digit-wall adversarial inputs
+    diverged = [t for t, a, b in zip(inputs, k1, k2) if a != b]
+    assert diverged, "corpus lost its digit-wall family?"
+    not_wall = [t for t in diverged if not _DIGIT_WALL.search(t)]
+    assert not not_wall, f"unexpected non-idempotent inputs: {not_wall[:5]!r}"
+    # and every non-wall input IS a fixed point
+    assert all(a == b for t, a, b in zip(inputs, k1, k2)
+               if not _DIGIT_WALL.search(t))
+
+
+def test_entry_output_is_kernel_fixed_point(spark):
+    import __spark_entry__
+    from gs_mcp_proxy_pii_redactor_spark.kernel.matcher import Matcher
+    from gs_mcp_proxy_pii_redactor_spark.kernel.service import redact_text
+    from gs_mcp_proxy_pii_redactor_spark.sources import PARITY_DICTIONARY
+
+    out = __spark_entry__.entry(spark)
+    rows = out.select("text_scrubbed").collect()
+    assert rows
+    matcher = Matcher(list(PARITY_DICTIONARY))
+    n_walls = 0
+    for r in rows:
+        s = r["text_scrubbed"]
+        if _DIGIT_WALL.search(s):
+            # synthesize_transcripts plants adversarial digit walls; on
+            # those the reference semantics are non-idempotent (above)
+            n_walls += 1
+            continue
+        assert redact_text(s, matcher) == s, f"PII survived the pipeline: {s!r}"
+    # the walls are a deliberate adversarial sliver, not the corpus
+    assert n_walls < len(rows) * 0.05, (n_walls, len(rows))

@@ -677,20 +677,40 @@ def test_executor_loss_mid_scrub_local_cluster(spark, tmp_path):
                 if ours:
                     killed_pid = sorted(ours)[0]
                     os.kill(killed_pid, signal.SIGKILL)
+                    # round-5 advice: the fault is only exercised if the
+                    # JOB was still running when the kill landed — on a
+                    # loaded host the 8-bucket job can finish inside the
+                    # 3s sleep, degrading this to a plain e2e run
+                    job_alive_at_kill = proc.poll() is None
                 break
             time.sleep(0.5)
         if killed_pid is None:
             proc.kill()
             proc.wait(timeout=60)
             pytest.skip("no executor JVMs observed to kill (cluster too fast/slow)")
+        if not job_alive_at_kill:
+            proc.wait(timeout=60)
+            pytest.skip("job finished before the kill landed — fault not exercised")
         rc = proc.wait(timeout=420)
     finally:
         if proc.poll() is None:
             proc.kill()
         errlog.seek(0)
-        tail = errlog.read()[-3000:]
+        full_err = errlog.read()
+        tail = full_err[-3000:]
         errlog.close()
     assert rc == 0, tail
+    # the driver must have actually OBSERVED the loss (task retry path),
+    # otherwise the kill landed after compute finished and this run is
+    # just a plain e2e check — skip rather than report false coverage
+    loss_markers = ("Lost executor", "ExecutorLostFailure", "Executor lost",
+                    "worker lost", "Worker shutting down")
+    if not any(m in full_err for m in loss_markers):
+        pytest.skip(
+            f"killed pid {killed_pid} while the driver was still up, but "
+            "no executor-loss handling appears in its log — the kill "
+            "landed after the compute finished; fault not exercised"
+        )
 
     final = spark.read.parquet(out)
     assert final.count() == n_rows  # no missing rows

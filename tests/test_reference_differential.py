@@ -8,8 +8,11 @@ byte-for-byte with the Python kernel over a diverse generated corpus
 unicode/emoji/astral, real document texts with injected PII).
 
 Skipped when Node or the reference checkout is unavailable. Last full
-run: 13,216 inputs (13,200 seeded-random generated across 8 adversarial
-families + the golden cases), 0 mismatches.
+run: 13,816 inputs (13,800 seeded-random generated across 9 adversarial
+families + the golden cases), 0 mismatches. The 9th family (round 6) is
+"[REDACTED]"-spliced digit walls — the exact shape of re-scrubbed
+output, pinning that the scrubber's measured NON-idempotence on dense
+digit runs (tests/test_idempotence_spark.py) is reference parity.
 """
 
 import json
@@ -130,6 +133,22 @@ def _build_corpus() -> tuple[list[str], list[str]]:
                 for _ in range(rng.randint(1, 30))
             )
         )
+    # round-6: "[REDACTED]"-spliced digit runs — second-pass inputs.
+    # The scrubber is NOT idempotent on dense digit walls (redacting a
+    # phone match terminates the run with '[', exposing a new tail
+    # match next pass); these strings are exactly the shape of a
+    # re-scrubbed digit wall, so kernel==JS here proves the
+    # non-idempotence is reference parity, not a port bug.
+    for _ in range(600):
+        n = rng.randint(10, 60)
+        s = "".join(rng.choice("0123456789") for _ in range(n))
+        p = rng.randrange(len(s) + 1)
+        mid = rng.choice(["[REDACTED]", "[REDACTED][REDACTED]",
+                          "][", "[", "]"])
+        s = s[:p] + mid + s[p:]
+        if rng.random() < 0.3:
+            s += rng.choice(["[REDACTED]", " or", "+1 "])
+        inputs.append(s)
     # dictionary words embedded in case-mangled context (CI whole-word
     # matching across boundaries)
     words = ["romario", "GARYPRATT", "John DOE", "o'BRIEN", "test-user", "a b c"]
@@ -157,7 +176,7 @@ def test_python_kernel_matches_reference_js(tmp_path):
     dictionary, inputs = _build_corpus()
     # corpus-size floor: the 0-mismatch claim must keep covering a large
     # GENERATED corpus, not just curated cases (round-3 verdict #6)
-    assert len(inputs) >= 13_000, len(inputs)
+    assert len(inputs) >= 13_800, len(inputs)
     inp = harness / "in.jsonl"
     with open(inp, "w") as f:
         f.write(json.dumps(dictionary) + "\n")

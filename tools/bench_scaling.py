@@ -18,10 +18,10 @@ Two execution modes (``--mode``):
                        rule names, and the PRIMARY recorded evidence
                        since round 5.
 
-This host's DRAM bandwidth drifts 5-30× across minutes (probes below),
-so a single generation's 2→8 ratio can be skewed by which window each
-level landed in (observed 0.69-0.88 across same-code generations). The
-harness therefore:
+Same-code walls on this host vary run-to-run (2→8 ratios 0.6-1.0
+across identical-plan generations; the round-1-5 "DRAM drifts 5-30×"
+reading was largely the v1 probe instrument — see the rules below),
+so the harness:
 
 * gates each level's JVM launch on a healthy-bandwidth probe (bounded
   wait, probes recorded);
@@ -32,8 +32,8 @@ harness therefore:
   UNCONDITIONED (all generations) and CONDITIONED on the pre-registered
   inclusion rule below.
 
-PRE-REGISTERED INCLUSION RULE (round 5 — declared in this file BEFORE
-any round-5 generation ran; round-4 verdict #1). A generation's
+PRE-REGISTERED INCLUSION RULE v1 (round 5 — declared in this file
+BEFORE any round-5 generation ran; round-4 verdict #1). A generation's
 (metric, N→4N pair) efficiency sample QUALIFIES iff:
 
   1. the pre-launch gate trail for BOTH levels of the pair ends at
@@ -42,10 +42,33 @@ any round-5 generation ran; round-4 verdict #1). A generation's
   2. for that metric, the probe recorded immediately before EVERY timed
      pass at BOTH levels is >= HEALTHY_WORKER_GBPS.
 
-Legacy entries (no in-worker probes) never qualify; they still feed the
-unconditioned median. The conditioned median answers "what does scaling
-look like when the host's memory wall stays out of the sample", which
-is the quantity a real cluster (per-node memory channels) would see.
+Running v1 found an instrument defect, not a host property: the v1
+probe allocates a fresh 200MB result array every iteration, so it
+measures the kernel's mmap/zero-fill fault path — 0.1-8 GB/s with
+30-90× swings between consecutive calls in the same process, JVM or no
+JVM (round-6 diagnosis, BENCH/PROBE_V2.md) — and its term 2 was
+unsatisfiable in workers. v1 stays frozen over v1-instrument entries
+(its n=0 result is part of the record).
+
+PRE-REGISTERED INCLUSION RULE v2 (round 6 — declared in this file
+BEFORE any round-6 generation ran; round-5 verdict #1). Probe
+instrument v2 streams through preallocated, pre-faulted buffers (same
+0.4 GB/iteration accounting) and reads a stable 12-24 GB/s on this
+host regardless of resident JVMs. A generation's (metric, pair) sample
+QUALIFIES under v2 iff the entry was recorded with probe_version >= 2
+and:
+
+  1. the pre-launch gate trail for BOTH levels of the pair ends at
+     >= HEALTHY_LAUNCH_GBPS_V2, and
+  2. for that metric, the (v2) probe recorded immediately before EVERY
+     timed pass at BOTH levels is >= HEALTHY_WORKER_GBPS_V2.
+
+Workers additionally record one v1-style fault-path probe alongside
+every v2 probe (``fault_trail``, audit-only — it documents the old
+instrument's behavior in the same moments; it gates nothing). The
+conditioned median answers "what does scaling look like when the
+host's memory subsystem stays healthy through the sample", which is
+the quantity a real cluster (per-node memory channels) would see.
 
 Usage:
   python tools/bench_scaling.py [sf_dir] [tpd] [--reuse]
@@ -64,8 +87,17 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-HEALTHY_LAUNCH_GBPS = 2.0  # rule term 1 — pre-launch gate (last probe)
-HEALTHY_WORKER_GBPS = 1.0  # rule term 2 — every pre-pass worker probe
+HEALTHY_LAUNCH_GBPS = 2.0  # rule v1 term 1 (frozen; v1-probe entries)
+HEALTHY_WORKER_GBPS = 1.0  # rule v1 term 2 (frozen; v1-probe entries)
+# Rule v2 (round 6, probe instrument v2 — see module docstring).
+# Calibration: healthy single-process streaming on this host reads
+# 12-24 GB/s (bare python, idle-JVM-resident, and post-work contexts
+# all measured round 6); the one degraded reading observed was 5.9
+# immediately after heavy executor work. Thresholds sit well below the
+# healthy band and above genuine degradation.
+PROBE_VERSION = 2
+HEALTHY_LAUNCH_GBPS_V2 = 8.0  # v2 term 1 — pre-launch gate (last probe)
+HEALTHY_WORKER_GBPS_V2 = 5.0  # v2 term 2 — every pre-pass worker probe
 
 _FLAGS = [a for a in sys.argv[1:] if a.startswith("--")]
 _ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -83,6 +115,10 @@ LEVELS = (2, 8, 32)
 for f in _FLAGS:
     if f.startswith("--levels="):
         LEVELS = tuple(int(x) for x in f.split("=", 1)[1].split(","))
+# PAIRS and the report's per-level columns are fixed to the 2/8/32
+# ladder — other levels would record history that feeds no efficiency
+# pair and renders as 0 in BASELINE.md, so reject them up front.
+assert set(LEVELS) <= {2, 8, 32}, f"--levels must be from (2,8,32): {LEVELS}"
 SKIP_MINHASH32 = "--no-minhash32" in _FLAGS
 
 # Bump a metric's version whenever its timed path changes — history
@@ -128,20 +164,34 @@ from gs_mcp_proxy_pii_redactor_spark.plans import ScrubJobConfig, build_pipeline
 from gs_mcp_proxy_pii_redactor_spark.sources import PARITY_DICTIONARY
 
 import numpy as _np
-probe_trail = {}   # metric -> every probe reading (audit)
-pass_probes = {}   # metric -> the probe immediately preceding each pass
+probe_trail = {}   # metric -> every v2 probe reading (audit)
+pass_probes = {}   # metric -> the v2 probe immediately preceding each pass
+fault_trail = {}   # metric -> v1-style fault-path probe per gated_probe call
+                   # (audit-only: documents the retired instrument's
+                   # behavior at the same moments; gates nothing)
+_pa = _np.zeros(200_000_000 // 8); _pb = _np.zeros_like(_pa)
+_np.multiply(_pa, 1.000001, out=_pb)  # pre-fault both buffers
 def _probe():
-    # 200MB read + 200MB write per iteration = 0.4 GB traffic (same
-    # unit as the launcher gate and bench.py)
+    # probe v2: streams through PREALLOCATED buffers — 200MB read +
+    # 200MB written = 0.4 GB/iteration (same accounting as the launcher
+    # gate and bench.py; see bench.py PROBE_VERSION)
+    t0 = time.time(); k = 0
+    while time.time() - t0 < 0.5:
+        _np.multiply(_pa, 1.000001, out=_pb); k += 1
+    return round(k * 0.4 / (time.time() - t0), 2)
+def _probe_fault():
+    # retired v1 instrument (fresh 200MB allocation per iteration —
+    # measures the mmap/zero-fill fault path)
     a = _np.zeros(200_000_000 // 8); t0 = time.time(); k = 0
     while time.time() - t0 < 0.5:
         _ = a * 1.000001; k += 1
     return round(k * 0.4 / (time.time() - t0), 2)
 def gated_probe(metric):
-    # pre-registered rule term 2 measures THIS value (the last probe
+    # pre-registered rule v2 term 2 measures THIS value (the last probe
     # before the pass); one bounded retry keeps qualification rates
     # usable without hiding the collapsed first reading
     tr = probe_trail.setdefault(metric, [])
+    fault_trail.setdefault(metric, []).append(_probe_fault())
     p = _probe(); tr.append(p)
     if p < worker_healthy:
         time.sleep(12)
@@ -251,21 +301,27 @@ out.update({"conv_wall": round(cbest, 3), "conv_times": ctimes,
             "asof_wall": round(abest, 3), "asof_times": atimes,
             "asof_rows": n_asof[0],
             "asof_rows_per_sec": round(n_asof[0] / abest, 1),
-            "probe_trail": probe_trail, "pass_probes": pass_probes})
+            "probe_trail": probe_trail, "pass_probes": pass_probes,
+            "fault_trail": fault_trail})
 print("SCALINGJSON" + json.dumps(out))
 spark.stop()
 """
 
 
 def _bw_probe(_n):
-    # module-level so multiprocessing can pickle it
+    # module-level so multiprocessing can pickle it; probe v2 (streams
+    # preallocated buffers — the v1 per-iteration allocation made the
+    # multi-process table measure mmap contention, not DRAM: it read
+    # 1.4 GB/s aggregate at 8/32 procs where v2 reads 32-41)
     import numpy as np
 
     a = np.zeros(200_000_000 // 8)
+    b = np.zeros_like(a)
+    np.multiply(a, 1.000001, out=b)
     t0 = time.time()
     k = 0
     while time.time() - t0 < 1.5:
-        _ = a * 1.000001
+        np.multiply(a, 1.000001, out=b)
         k += 1
     return k * 0.4
 
@@ -314,16 +370,18 @@ def compatible(entry: dict, metric: str, mode: str = MODE) -> bool:
     )
 
 
-def qualifies(entry: dict, metric: str, pair: str) -> bool:
-    """Pre-registered inclusion rule (module docstring). Legacy entries
-    without in-worker probes never qualify."""
+def _probe_terms_hold(
+    entry: dict, metric: str, pair: str, launch_gbps: float, worker_gbps: float
+) -> bool:
+    """Shared two-term check: gate trail ends healthy at both levels AND
+    every pre-pass in-worker probe for the metric is healthy."""
     lo, hi = PAIRS[pair]
     gates = entry.get("gate_probes")
     if not isinstance(gates, dict):  # earliest-generation format
         return False
     for lvl in (lo, hi):
         gate = gates.get(lvl)
-        if not gate or gate[-1] < HEALTHY_LAUNCH_GBPS:
+        if not gate or gate[-1] < launch_gbps:
             return False
         pp = (
             entry.get("levels", {})
@@ -331,9 +389,32 @@ def qualifies(entry: dict, metric: str, pair: str) -> bool:
             .get("pass_probes", {})
             .get(metric)
         )
-        if not pp or any(p < HEALTHY_WORKER_GBPS for p in pp):
+        if not pp or any(p < worker_gbps for p in pp):
             return False
     return True
+
+
+def qualifies(entry: dict, metric: str, pair: str) -> bool:
+    """Pre-registered inclusion rule v1 (module docstring) — applies
+    only to v1-instrument entries; its round-5 n=0 instrument finding is
+    frozen into the record. Legacy entries without in-worker probes
+    never qualify."""
+    if entry.get("probe_version", 1) != 1:
+        return False
+    return _probe_terms_hold(
+        entry, metric, pair, HEALTHY_LAUNCH_GBPS, HEALTHY_WORKER_GBPS
+    )
+
+
+def qualifies_v2(entry: dict, metric: str, pair: str) -> bool:
+    """Pre-registered inclusion rule v2 (round 6, module docstring) —
+    same two terms on the fixed streaming instrument, v2 thresholds;
+    only entries recorded with probe v2 are candidates."""
+    if entry.get("probe_version", 1) < 2:
+        return False
+    return _probe_terms_hold(
+        entry, metric, pair, HEALTHY_LAUNCH_GBPS_V2, HEALTHY_WORKER_GBPS_V2
+    )
 
 
 def gate_healthy(entry: dict, pair: str) -> bool:
@@ -344,7 +425,11 @@ def gate_healthy(entry: dict, pair: str) -> bool:
     whose gates read 3-8 GB/s record in-worker probes of 0.1-0.4 — so
     term 2 conditions on the instrument, not the host. This weaker
     conditioning is reported SEPARATELY and labeled post-hoc; the
-    registered rule's result is never replaced."""
+    registered rule's result is never replaced. Frozen to v1-instrument
+    entries (it exists to condition r5 samples whose rule-v1 term 2 was
+    instrument-broken; v2 entries are governed by qualifies_v2)."""
+    if entry.get("probe_version", 1) != 1:
+        return False
     gates = entry.get("gate_probes")
     if not isinstance(gates, dict):
         return False
@@ -371,7 +456,8 @@ def gen_efficiencies(
     out = {
         "all": {p: [] for p in PAIRS},
         "qual": {p: [] for p in PAIRS},
-        "gate": {p: [] for p in PAIRS},  # post-hoc term-1-only
+        "gate": {p: [] for p in PAIRS},  # post-hoc term-1-only (v1 era)
+        "v2": {p: [] for p in PAIRS},  # registered rule v2 (probe v2)
     }
     for e in history:
         if not compatible(e, metric, mode):
@@ -387,6 +473,8 @@ def gen_efficiencies(
                 out["qual"][pair].append(eff)
             if gate_healthy(e, pair):
                 out["gate"][pair].append(eff)
+            if qualifies_v2(e, metric, pair):
+                out["v2"][pair].append(eff)
     return out
 
 
@@ -446,7 +534,7 @@ def main() -> None:
                 master_for(cores),
                 path,
                 "1" if SKIP_MINHASH32 else "0",
-                repr(HEALTHY_WORKER_GBPS),
+                repr(HEALTHY_WORKER_GBPS_V2),
                 str(cores),
             ],
             capture_output=True,
@@ -476,9 +564,10 @@ def main() -> None:
         "levels": {str(c): results[c] for c in LEVELS},
         "gate_probes": probes,
         "bandwidth": bwidth,
-        "rule": {
-            "launch_gbps": HEALTHY_LAUNCH_GBPS,
-            "worker_gbps": HEALTHY_WORKER_GBPS,
+        "probe_version": PROBE_VERSION,
+        "rule_v2": {
+            "launch_gbps": HEALTHY_LAUNCH_GBPS_V2,
+            "worker_gbps": HEALTHY_WORKER_GBPS_V2,
         },
     }
     os.makedirs("/root/repo/BENCH", exist_ok=True)
@@ -505,6 +594,8 @@ def write_report(history, bwidth, results=None, probes=None) -> None:
                 "n_qual": {p: len(v) for p, v in effs["qual"].items()},
                 "med_gate": {p: _median(v) for p, v in effs["gate"].items()},
                 "n_gate": {p: len(v) for p, v in effs["gate"].items()},
+                "med_v2": {p: _median(v) for p, v in effs["v2"].items()},
+                "n_v2": {p: len(v) for p, v in effs["v2"].items()},
                 "best": best_per_level(history, m, mode),
             }
         stats[mode] = per
@@ -512,9 +603,10 @@ def write_report(history, bwidth, results=None, probes=None) -> None:
     summary = {
         "mode_this_gen": MODE,
         "levels_this_gen": list(LEVELS),
-        "rule": {
-            "launch_gbps": HEALTHY_LAUNCH_GBPS,
-            "worker_gbps": HEALTHY_WORKER_GBPS,
+        "probe_version": PROBE_VERSION,
+        "rule_v2": {
+            "launch_gbps": HEALTHY_LAUNCH_GBPS_V2,
+            "worker_gbps": HEALTHY_WORKER_GBPS_V2,
         },
         "target": 0.8,
     }
@@ -524,10 +616,13 @@ def write_report(history, bwidth, results=None, probes=None) -> None:
             summary[f"{mode}:{m}"] = {
                 "gens": s["n"],
                 "eff_2_8_median_all": s["med_all"]["2_8"],
-                "eff_2_8_median_qualifying": s["med_qual"]["2_8"],
-                "n_qualifying": s["n_qual"]["2_8"],
+                "eff_2_8_median_rule_v2": s["med_v2"]["2_8"],
+                "n_rule_v2": s["n_v2"]["2_8"],
+                "eff_2_8_median_rule_v1": s["med_qual"]["2_8"],
+                "n_rule_v1": s["n_qual"]["2_8"],
                 "eff_2_8_median_gate_healthy_posthoc": s["med_gate"]["2_8"],
                 "n_gate_healthy": s["n_gate"]["2_8"],
+                "eff_8_32_median_all": s["med_all"]["8_32"],
             }
     print(json.dumps(summary))
 
@@ -545,6 +640,7 @@ def write_report(history, bwidth, results=None, probes=None) -> None:
                 continue
             rows.append(
                 f"| {m} | {s['n']} | {s['med_all']['2_8']} | "
+                f"{s['med_v2']['2_8']} | {s['n_v2']['2_8']} | "
                 f"{s['med_qual']['2_8']} | {s['n_qual']['2_8']} | "
                 f"{s['med_gate']['2_8']} | {s['n_gate']['2_8']} | "
                 f"{s['med_all']['8_32']} | "
@@ -560,17 +656,20 @@ def write_report(history, bwidth, results=None, probes=None) -> None:
                 continue
             detail.append(
                 f"* **{m}** 2→8 per-generation: all = "
-                f"{fmt_list(s['effs']['all']['2_8'])}; registered-rule "
-                f"qualifying = {fmt_list(s['effs']['qual']['2_8'])}; "
-                f"gate-healthy (post-hoc) = "
+                f"{fmt_list(s['effs']['all']['2_8'])}; rule v2 "
+                f"qualifying = {fmt_list(s['effs']['v2']['2_8'])}; "
+                f"rule v1 qualifying = {fmt_list(s['effs']['qual']['2_8'])}; "
+                f"gate-healthy (post-hoc, v1 era) = "
                 f"{fmt_list(s['effs']['gate']['2_8'])}"
             )
         return (
             f"## {title}\n\n"
-            "| metric | gens | 2→8 median (all) | 2→8 med (registered rule) "
-            "| n | 2→8 med (gate-healthy, post-hoc) | n | "
+            "| metric | gens | 2→8 median (all) | 2→8 med (rule v2) | n | "
+            "2→8 med (rule v1) | n | "
+            "2→8 med (gate-healthy, post-hoc) | n | "
             "8→32 median (all) | best rows/s @2·8·32 |\n"
-            "|---|---|---|---|---|---|---|---|---|\n" + "\n".join(rows)
+            "|---|---|---|---|---|---|---|---|---|---|---|\n"
+            + "\n".join(rows)
             + "\n\n" + "\n".join(detail) + "\n"
         )
 
@@ -616,42 +715,58 @@ Two modes, same ladder of total cores (2 → 8 → 32):
   the north rule's "N vs 4N executors".
 * **local**: `local[N]` threads in one JVM (all pre-round-5 history).
 
-## Methodology on a drifting host, and the PRE-REGISTERED inclusion rule
+## Methodology on a noisy host, and the PRE-REGISTERED inclusion rules
 
-This host's DRAM bandwidth drifts 5-30× across minutes (probe table
-below). A single generation's 2→8 ratio is skewed by which window each
-level lands in (same-code generations measured 0.6-1.0 on identical
-plans), so every generation is appended to BENCH/scaling_history.jsonl
+Single-generation 2→8 ratios on this host vary 0.6-1.0 on identical
+plans, so every generation is appended to BENCH/scaling_history.jsonl
 and the headline efficiency is the MEDIAN across same-code generations.
-Since round 5 the harness additionally records a probe immediately
-before EVERY timed pass inside each worker, and reports a second,
-CONDITIONED median over generations satisfying the inclusion rule that
-was declared in tools/bench_scaling.py BEFORE any round-5 run:
+Since round 5 the harness records a probe immediately before EVERY
+timed pass inside each worker and reports CONDITIONED medians over
+generations satisfying a rule declared in tools/bench_scaling.py
+BEFORE the generations it governs ran.
 
-1. the pre-launch gate trail for BOTH levels of a pair ends at
-   ≥ {HEALTHY_LAUNCH_GBPS} GB/s (a real healthy-window launch, not a
-   wait-budget expiry), and
-2. every pre-pass in-worker probe for that metric at BOTH levels is
-   ≥ {HEALTHY_WORKER_GBPS} GB/s.
+**Round-6 instrument finding — the v1 probe, not the host, "drifted
+5-30×" (BENCH/PROBE_V2.md).** Rounds 1-5 probed bandwidth with
+`a * 1.000001` over a 200MB array, which allocates (mmap) and
+zero-fills a fresh 200MB result every iteration: that instrument
+measures the kernel fault path and reads 0.1-8 GB/s with 30-90× swings
+between CONSECUTIVE calls in the same process — bare python, 122 GB
+free, no JVM anywhere. The round-5 observation "the in-worker probe
+under-reads whenever an idle executor JVM is resident" was this
+call-to-call noise, not a JVM effect. True streaming bandwidth
+(preallocated, pre-faulted buffers — probe v2) is a stable 12-24 GB/s
+single-process in every context tested (bare, idle-JVM-resident,
+post-work), and the multi-process "collapse to 0.5-2 GB/s aggregate"
+in earlier rounds' tables was mmap contention in the v1 instrument
+(v2 measures ~13 GB/s @1 proc → ~32-41 GB/s aggregate @8-32 procs).
+Real workload walls DO still vary round-to-round (the collapsed-window
+q19 4.2× in BENCH_r05); the r6 host sampler (BENCH/host_samples_r6)
+tracks stream/fault/CPU probes across the session to attribute that.
 
-The conditioned median estimates scaling with the host's collapsing
-memory wall excluded from the sample — the quantity a real cluster
-(per-node memory channels) sees. Pre-round-5 generations carry no
-in-worker probes and can never qualify; they feed only the
-unconditioned median. Neither median is ever deleted: both are
-reported, with per-generation values for audit.
+**Rule v1 (registered round 5; frozen, v1-instrument entries only):**
+gate trail ends ≥ {HEALTHY_LAUNCH_GBPS} GB/s at both levels AND every
+pre-pass in-worker probe ≥ {HEALTHY_WORKER_GBPS} GB/s. Its qualifying
+set came out EMPTY (n=0) — term 2 conditioned on the broken
+instrument; kept in the tables as part of the record, with the round-5
+POST-HOC gate-healthy (term-1-only) column next to it.
 
-**Measured instrument finding (round 5), and a post-hoc secondary
-conditioning.** Running the rule revealed that its term 2 conditions on
-the probe instrument, not the host: generations whose pre-launch gates
-(no JVM alive) read 3-8 GB/s record in-worker probes of only 0.1-0.4
-GB/s once an — idle — executor JVM is resident in the process tree, so
-term 2 is systematically unsatisfiable and the registered rule's
-qualifying set is empty by construction (n=0 below — reported, not
-hidden). The tables therefore ALSO show a weaker conditioning clearly
-labeled POST-HOC: term 1 alone (both gate trails end ≥ the threshold),
-restricted to round-5+ generations so the candidate set matches the
-registered rule's. The registered-rule column is never replaced by it.
+**Rule v2 (registered round 6, BEFORE any round-6 generation ran;
+probe-v2 entries only):** a generation's (metric, pair) sample
+qualifies iff
+
+1. the pre-launch gate trail for BOTH levels of the pair ends at
+   ≥ {HEALTHY_LAUNCH_GBPS_V2} GB/s, and
+2. every pre-pass in-worker (v2) probe for that metric at BOTH levels
+   is ≥ {HEALTHY_WORKER_GBPS_V2} GB/s.
+
+Thresholds are calibrated to the v2 instrument: healthy single-process
+streaming reads 12-24 GB/s; the only degraded reading observed during
+calibration was 5.9 immediately after heavy executor work. Workers
+also record a v1-style fault-path probe alongside every v2 probe
+(`fault_trail`, audit-only). The conditioned median estimates scaling
+with genuinely degraded host windows excluded — the quantity a real
+cluster (per-node memory channels) sees. No median is ever deleted:
+all columns are reported, with per-generation values for audit.
 
 {this_gen}
 {mode_section("local-cluster",
@@ -680,18 +795,24 @@ registered rule's. The registered-rule column is never replaced by it.
 
 ## Why 2→8 is the honest pair: this host has a hard memory-bandwidth wall
 
-Aggregate DRAM bandwidth measured with an independent numpy probe
-(200 MB stream per process), this run:
+Aggregate DRAM bandwidth measured with the independent v2 numpy probe
+(200 MB preallocated stream per process), this run:
 
 | processes | aggregate GB/s |
 |---|---|
 {chr(10).join(f"| {k} | {v} |" for k, v in (bwidth or {}).items())}
 
-The 2→8 pair operates below the ceiling and shows the pipeline's
-intrinsic scaling; the 8→32 pair saturates host DRAM, which a real
-multi-node cluster does not share (each executor node brings its own
-memory channels). The per-turn plan has zero cross-task coordination
-(no shuffle, no barriers, broadcast-only dictionary), so node-count
+Single-process streaming is ~13 GB/s while the 8-32-process aggregate
+ceiling is ~32-41 GB/s — only ~2.5-3× headroom, so 32 concurrent
+scan-heavy tasks share well under 1.3 GB/s each. (Pre-round-6 reports
+showed this table collapsing to 0.5-2 GB/s aggregate; that was the v1
+probe's mmap contention, but the CONCLUSION stands with correct
+numbers: the ceiling is far below 16× single-process demand.) The 2→8
+pair operates below the ceiling and shows the pipeline's intrinsic
+scaling; the 8→32 pair saturates host DRAM, which a real multi-node
+cluster does not share (each executor node brings its own memory
+channels). The per-turn plan has zero cross-task coordination (no
+shuffle, no barriers, broadcast-only dictionary), so node-count
 scaling on a real cluster tracks the 2→8 figure.
 
 Configs: shuffle.partitions=max(cores,8), AQE on, Arrow batch 10k,

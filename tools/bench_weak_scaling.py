@@ -251,12 +251,22 @@ def write_report(history: list[dict]) -> None:
             if not lv:
                 continue
             sr = lv["sample_rows"]
+
+            def pairs_cells(key):
+                # a generation recorded with a subset of metrics (or a
+                # partial worker failure) leaves pairs as None — render
+                # a dash instead of raising on the ',' format spec
+                v = lv.get(key)
+                if v is None:
+                    return "—", "—"
+                return f"{v:,}", f"{round(v / sr, 4)}"
+
+            mh_pairs, mh_ratio = pairs_cells("minhash_pairs")
+            sh_pairs, sh_ratio = pairs_cells("simhash_pairs")
             lines.append(
                 f"| {tpd} | {lv['rows']:,} | {lv.get('pipeline_wall')} | "
-                f"{lv.get('minhash_wall')} | {lv.get('minhash_pairs'):,} | "
-                f"{round(lv.get('minhash_pairs', 0) / sr, 4)} | "
-                f"{lv.get('simhash_wall')} | {lv.get('simhash_pairs'):,} | "
-                f"{round(lv.get('simhash_pairs', 0) / sr, 4)} |"
+                f"{lv.get('minhash_wall')} | {mh_pairs} | {mh_ratio} | "
+                f"{lv.get('simhash_wall')} | {sh_pairs} | {sh_ratio} |"
             )
         lines.append("")
         lines.append(
