@@ -68,10 +68,12 @@ spark.sparkContext.setLogLevel("ERROR")
 
 import numpy as _np
 pass_probes = {}
+_pa = _np.zeros(200_000_000 // 8); _pb = _np.zeros_like(_pa)
+_np.multiply(_pa, 1.000001, out=_pb)  # probe v2: preallocated buffers
 def _probe():
-    a = _np.zeros(200_000_000 // 8); t0 = time.time(); k = 0
+    t0 = time.time(); k = 0
     while time.time() - t0 < 0.5:
-        _ = a * 1.000001; k += 1
+        _np.multiply(_pa, 1.000001, out=_pb); k += 1
     return round(k * 0.4 / (time.time() - t0), 2)
 def run_metric(metric, fn, n_passes, warmup=True):
     if warmup:
@@ -194,6 +196,7 @@ def load_history() -> list[dict]:
 def _append(entry: dict) -> None:
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     entry["t"] = round(time.time(), 1)
+    entry["probe_version"] = 2  # round 6+: streaming probe (PROBE_V2.md)
     with open(HIST_PATH, "a") as fh:
         fh.write(json.dumps(entry) + "\n")
 
