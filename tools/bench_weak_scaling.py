@@ -316,16 +316,36 @@ def write_report(history: list[dict]) -> None:
     lines += [
         "### Reading the pairs columns",
         "",
-        "`pairs/row` RISES with tpd by construction of the input, not",
-        "because the operator goes quadratic: transcript turns are",
-        "overlapping windows over the same document text, so a higher",
-        "turns-per-doc factor makes the corpus itself denser in true",
-        "near-duplicates (every extra turn overlaps its neighbors). The",
-        "operator-side evidence is the WALL growth staying ≈4× per 4×",
-        "rows while true pair density grows ~16×: signature build",
-        "dominates and the band-bucket join (bucket-capped) absorbs the",
-        "extra candidates without a quadratic term. On a deduplicated",
-        "real corpus pair density is flat, so this is the harder case.",
+        "**MinHash** `pairs/row` RISES with tpd by construction of the",
+        "input, not because the operator goes quadratic: transcript",
+        "turns are overlapping slices of the same document text, so a",
+        "higher turns-per-doc factor makes the corpus itself denser in",
+        "true near-duplicates. The operator-side evidence is the WALL",
+        "growth staying ≈4× per 4× rows while true pair density grows",
+        "~16×: signature build dominates and the band-bucket join",
+        "(bucket-capped) absorbs the extra candidates without a",
+        "quadratic term. On a deduplicated real corpus pair density is",
+        "flat, so this is the harder case.",
+        "",
+        "**SimHash's non-monotonic `pairs/row` (10.17 @250k → 0.34 @1M →",
+        "1.19 @4M) is the bucket cap crossing its threshold, verified",
+        "round 6.** synthesize_transcripts plants degenerate texts in",
+        "1/12 of turns from a 5-string fixed set; each token-bearing",
+        "degenerate string ('ok', the digit wall, 'spam …'; the empty",
+        "and all-symbol strings produce no tokens, hence no signature",
+        "row) is an EXACT-duplicate clique with one shared simhash",
+        "bucket. At tpd=50 each clique has ~4,167 rows in the full",
+        "table (measured: 4,166-4,167) ≈ 417 in the 10% sample — UNDER",
+        "max_bucket_size=500, so 3 cliques contribute ≈3·C(417,2) ≈",
+        "260k pairs (measured 253,481: the 10.17/row figure is ~97%",
+        "clique pairs). At tpd=200+ the sampled cliques (~1,667 and up)",
+        "EXCEED the cap and are dropped wholesale — by design: a",
+        ">500-duplicate clique is exact-dedup's job, not a near-dup",
+        "scan's — leaving the genuine sliding-window near-dups, whose",
+        "density then grows ~linearly with sample density (0.34 →",
+        "1.19/row ≈ ×3.5 per ×4 rows). The same cliques sit under",
+        "MinHash's separate band-bucket cap at every size, so its",
+        "column shows no step.",
         "",
         "## Scan-bandwidth attribution: text volume × MinHash wall",
         "",
