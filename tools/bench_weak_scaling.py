@@ -392,6 +392,32 @@ def write_report(history: list[dict]) -> None:
             pass
         lines.append("")
 
+    if attrs:
+
+        def wall_ratio(e, hi, lo):
+            try:
+                return round(
+                    e["levels"][hi]["minhash_wall"]
+                    / e["levels"][lo]["minhash_wall"],
+                    2,
+                )
+            except (KeyError, ZeroDivisionError):
+                return None
+
+        r25 = [r for r in (wall_ratio(e, "1.0", "0.25") for e in attrs)
+               if r is not None]
+        r50 = [r for r in (wall_ratio(e, "1.0", "0.5") for e in attrs)
+               if r is not None]
+        lines += [
+            f"**Medians over {len(attrs)} generation(s)**: 100%/25% wall "
+            f"ratio {_median(r25)} (chars ratio 4.0; per-gen {r25}), "
+            f"100%/50% wall ratio {_median(r50)} (chars ratio 2.0; per-gen "
+            f"{r50}). Ratios tracking the chars ratios with a fixed floor "
+            "⇒ the MinHash wall is bound by streaming the text column, "
+            "not by a fixed coordination term.",
+            "",
+        ]
+
     lines.append(f"Generated {time.strftime('%Y-%m-%d %H:%M:%S')}.")
     with open(MD_PATH, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
@@ -399,6 +425,9 @@ def write_report(history: list[dict]) -> None:
 
 
 def main() -> None:
+    if "--report-only" in sys.argv:
+        write_report(load_history())
+        return
     do_sizes = "--sizes" in sys.argv or "--attribution" not in sys.argv
     do_attr = "--attribution" in sys.argv
 
