@@ -1,0 +1,52 @@
+"""Session-long host-state sampler: stream BW, fault-path BW, CPU score.
+
+Appends one JSON line per sample to /root/repo/BENCH/host_samples_r6.jsonl.
+Tiny duty cycle (~2s of work every 120s) so it can run alongside benches.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def probe_stream():
+    a = np.zeros(200_000_000 // 8)
+    out = np.zeros_like(a)
+    np.multiply(a, 1.000001, out=out)
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < 0.4:
+        np.multiply(a, 1.000001, out=out)
+        k += 1
+    return round(k * 0.4 / (time.time() - t0), 2)
+
+
+def probe_fault():
+    a = np.zeros(200_000_000 // 8)
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < 0.4:
+        _ = a * 1.000001
+        k += 1
+    return round(k * 0.4 / (time.time() - t0), 2)
+
+
+def probe_cpu():
+    # fixed-work CPU score (GFLOP-ish): 256x256 matmul loop, cache-resident
+    a = np.random.RandomState(0).rand(256, 256)
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < 0.3:
+        a @ a
+        k += 1
+    return round(k * 2 * 256**3 / 1e9 / (time.time() - t0), 2)
+
+
+if __name__ == "__main__":
+    path = "/root/repo/BENCH/host_samples_r6.jsonl"
+    while True:
+        s = {"t": round(time.time(), 1), "stream_gbps": probe_stream(),
+             "fault_gbps": probe_fault(), "cpu_gflops": probe_cpu()}
+        with open(path, "a") as fh:
+            fh.write(json.dumps(s) + "\n")
+        time.sleep(120)

@@ -1,0 +1,40 @@
+"""Re-measure aggregate DRAM bandwidth at 1/8/32 procs with BOTH probe variants."""
+import json
+import multiprocessing as mp
+import sys
+import time
+
+import numpy as np
+
+
+def work_alloc(_n):
+    a = np.zeros(200_000_000 // 8)
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < 1.5:
+        _ = a * 1.000001
+        k += 1
+    return k * 0.4
+
+
+def work_out(_n):
+    a = np.zeros(200_000_000 // 8)
+    out = np.zeros_like(a)
+    np.multiply(a, 1.000001, out=out)
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < 1.5:
+        np.multiply(a, 1.000001, out=out)
+        k += 1
+    return k * 0.4
+
+
+if __name__ == "__main__":
+    for name, fn in (("out", work_out), ("alloc", work_alloc)):
+        res = {}
+        for procs in (1, 4, 8, 16, 32):
+            with mp.Pool(procs) as p:
+                t0 = time.time()
+                r = p.map(fn, range(procs))
+                res[procs] = round(sum(r) / (time.time() - t0), 1)
+        print(json.dumps({"variant": name, "aggregate_gbps": res}), flush=True)

@@ -1,0 +1,70 @@
+"""Diagnose: why does the in-worker probe under-read with an idle JVM resident?
+
+Compares two probe variants (alloc-per-iter vs preallocated out=) in three
+contexts: (a) bare python, (b) python with an idle Spark JVM child resident,
+(c) inside the same process after JVM stop.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def probe_alloc():
+    # current instrument: result array allocated EVERY iteration
+    a = np.zeros(200_000_000 // 8)
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < 0.5:
+        _ = a * 1.000001
+        k += 1
+    return round(k * 0.4 / (time.time() - t0), 2)
+
+
+def probe_out():
+    # candidate v2 instrument: preallocated+warmed output buffer
+    a = np.zeros(200_000_000 // 8)
+    out = np.zeros_like(a)
+    np.multiply(a, 1.000001, out=out)  # warm both buffers
+    t0 = time.time()
+    k = 0
+    while time.time() - t0 < 0.5:
+        np.multiply(a, 1.000001, out=out)
+        k += 1
+    return round(k * 0.4 / (time.time() - t0), 2)
+
+
+def both(tag):
+    r = {"tag": tag, "alloc": [probe_alloc() for _ in range(3)],
+         "out": [probe_out() for _ in range(3)]}
+    print(json.dumps(r), flush=True)
+    return r
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "bare"
+    if mode == "bare":
+        both("bare-python")
+    elif mode == "jvm":
+        sys.path.insert(0, "/root/repo")
+        from pyspark.sql import SparkSession
+        both("pre-jvm (same proc, before JVM launch)")
+        spark = (SparkSession.builder.master("local-cluster[4,2,4096]")
+                 .config("spark.executor.memory", "3g")
+                 .config("spark.driver.memory", "16g")
+                 .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        # touch the cluster once so executors actually spawn
+        spark.range(1000).count()
+        time.sleep(2)
+        both("idle-executor-jvms-resident")
+        # do some real work, then idle again
+        spark.range(50_000_000).selectExpr("sum(id)").collect()
+        both("idle-after-work")
+        spark.stop()
+        time.sleep(3)
+        both("after-jvm-stop (same proc)")
