@@ -1,0 +1,381 @@
+"""Stage-isolation benchmarks for optimization round 7 (guide §1.4).
+
+bench.py is FROZEN for the driver's measurement; every extra number this
+round cites comes from here. Each subcommand builds the SAME session as
+bench.py (same shuffle partitions / AQE / Arrow / maxPartitionBytes) and
+times stages with the noop sink so we measure computation, not the sink.
+
+Usage:
+  python bench_extra.py minhash   [sfdir]   # minhash stage breakdown
+  python bench_extra.py q31       [sfdir]   # q31 LSH stage breakdown
+  python bench_extra.py scrub     [sfdir]   # analyze-UDF component profile
+  python bench_extra.py queries   [sfdir]   # bench-style per-query timing
+  python bench_extra.py explain   [sfdir] <name> <outfile>  # formatted plan
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bench-extra")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(spark, name, fn, runs=2):
+    best = None
+    for _ in range(runs):
+        spark.sparkContext.setJobDescription(name)
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    print(f"  {name}: {best:.3f}s", flush=True)
+    return round(best, 3)
+
+
+def minhash_breakdown(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gs_mcp_proxy_pii_redactor_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signature,
+        shingles,
+        unpersist_minhash_cache,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    print(f"docs partitions: {docs.rdd.getNumPartitions()}")
+    out = {}
+
+    hashed = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.transform(shingles("text", 3), lambda s: F.xxhash64(s)).alias("_bh"),
+    )
+    out["scan_only"] = timed(spark, "scan_only", lambda: noop(docs))
+    out["shingle_hash"] = timed(spark, "shingle+xxhash", lambda: noop(hashed))
+    sig = hashed.select(
+        "_id", minhash_signature(F.col("_bh"), 64).alias("_sig")
+    )
+    out["signatures"] = timed(spark, "signatures(64 perm)", lambda: noop(sig))
+
+    def full():
+        pairs = minhash_candidate_pairs(docs, "doc_id", "text", threshold=0.5)
+        n = pairs.count()
+        unpersist_minhash_cache(pairs)
+        return n
+
+    out["full_pairs_count"] = timed(spark, "full pairs count", full)
+    print(json.dumps({"minhash_stages": out}))
+
+
+def q31_breakdown(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gs_mcp_proxy_pii_redactor_spark.operators.similarity import (
+        make_multi_sign_lsh_udf,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import (
+        q31_embedding_neardup_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    print(f"embeddings partitions: {emb.rdd.getNumPartitions()}")
+    out = {}
+    emb2 = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    planted = emb2.filter(F.col("id") % 5 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.transform(
+            "v",
+            lambda x, i: x * (1.0 + 0.1 * (((i + 1) % 3) - 1).cast("double")),
+        ).alias("v"),
+    )
+    aug = emb2.unionByName(planted)
+    lsh = make_multi_sign_lsh_udf(4, 8, 42)
+    sig = aug.select("id", F.posexplode(lsh(F.col("v"))).alias("_t", "_sig"))
+    out["signatures"] = timed(spark, "sign-lsh signatures", lambda: noop(sig))
+    sizes = sig.groupBy("_t", "_sig").agg(F.count("*").alias("_n"))
+    capped = sig.join(
+        sizes.filter(F.col("_n") <= 1000).drop("_n"), ["_t", "_sig"]
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._sig") == F.col("b._sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    out["n_candidates"] = cand.count()
+    print(f"  n_candidates: {out['n_candidates']}")
+    out["candidates"] = timed(spark, "candidate pairs", lambda: noop(cand))
+    out["full_q31_count"] = timed(
+        spark, "full q31 count", lambda: q31_embedding_neardup_lsh(spark, sf_dir).count()
+    )
+    print(json.dumps({"q31_stages": out}))
+
+
+def scrub_profile(spark, sf_dir):
+    """Component cost of the fused analyze UDF, measured in-Python on a
+    sample of real transcript turns (no Spark in the loop)."""
+    from gs_mcp_proxy_pii_redactor_spark.functions.langid import detect_language
+    from gs_mcp_proxy_pii_redactor_spark.functions.perplexity import (
+        batch_char_perplexity,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.kernel.matcher import Matcher
+    from gs_mcp_proxy_pii_redactor_spark.kernel.scanner import redact_generic
+    from gs_mcp_proxy_pii_redactor_spark.sources import (
+        PARITY_DICTIONARY,
+        synthesize_transcripts,
+    )
+
+    rows = (
+        synthesize_transcripts(spark, sf_dir, 50)
+        .select("text")
+        .limit(50000)
+        .collect()
+    )
+    texts = [r.text for r in rows]
+    print(f"sample turns: {len(texts)}")
+    matcher = Matcher.build(list(PARITY_DICTIONARY))
+    out = {}
+    t0 = time.time()
+    scrubbed = [redact_generic(s) for s in texts]
+    out["redact_generic"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _ = [matcher.redact(s) for s in scrubbed]
+    out["matcher_redact"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _ = [detect_language(s) for s in texts]
+    out["detect_language"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    _ = batch_char_perplexity(texts)
+    out["batch_ppl"] = round(time.time() - t0, 3)
+    total = sum(out.values())
+    for k, v in out.items():
+        print(f"  {k}: {v:.3f}s ({100*v/total:.0f}%)")
+    print(json.dumps({"scrub_components": out, "rows": len(texts)}))
+
+
+def queries_timing(spark, sf_dir):
+    """bench.py-style timing (best-of-2, no probe gating) for iterating."""
+    from pyspark.sql import functions as F
+
+    from gs_mcp_proxy_pii_redactor_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        simhash,
+        unpersist_minhash_cache,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.plans import (
+        ScrubJobConfig,
+        build_pipeline,
+        conv_stats,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.plans.queries import (
+        q01_pricing_summary,
+        q04_dict_redact,
+        q10_first_events,
+        q12_fingerprint_dedup,
+        q13_knn_bruteforce,
+        q19_orders_by_segment,
+        q31_embedding_neardup_lsh,
+        q33_asof_join,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.sources import (
+        PARITY_DICTIONARY,
+        synthesize_transcripts,
+    )
+
+    timings = {}
+    tmp = f"/tmp/bench_extra_transcripts_{os.getpid()}"
+    par = spark.sparkContext.defaultParallelism
+    transcripts = synthesize_transcripts(spark, sf_dir, 50)
+    transcripts.repartition(par * 2).write.mode("overwrite").parquet(tmp)
+    tdf = spark.read.parquet(tmp)
+    n_turns = tdf.count()
+    cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
+
+    def scrub_run():
+        result = build_pipeline(spark, tdf, cfg)
+        return result.agg(
+            F.sum(F.col("keep").cast("long")),
+            F.sum(F.length("text_scrubbed")),
+            F.sum("ppl"),
+        ).collect()
+
+    scrub_run()  # warm-up
+    timings["scrub_pipeline"] = timed(spark, "scrub_pipeline", scrub_run)
+    timings["conv_stats_salted"] = timed(
+        spark,
+        "conv_stats_salted",
+        lambda: conv_stats(build_pipeline(spark, tdf, cfg))
+        .agg(F.sum("n_turns"), F.sum("n_keep"))
+        .collect(),
+    )
+    timings["q01_pricing_summary"] = timed(
+        spark, "q01", lambda: q01_pricing_summary(spark, sf_dir).collect()
+    )
+    timings["q04_dict_redact"] = timed(
+        spark,
+        "q04",
+        lambda: q04_dict_redact(spark, sf_dir)
+        .agg(F.sum(F.length("text_scrubbed")))
+        .collect(),
+    )
+    timings["q10_first_events"] = timed(
+        spark, "q10", lambda: q10_first_events(spark, sf_dir).count()
+    )
+    timings["q12_fingerprint_dedup"] = timed(
+        spark, "q12", lambda: q12_fingerprint_dedup(spark, sf_dir).count()
+    )
+    timings["q13_knn_bruteforce"] = timed(
+        spark, "q13", lambda: q13_knn_bruteforce(spark, sf_dir).collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def minhash_run():
+        pairs = minhash_candidate_pairs(docs, "doc_id", "text", threshold=0.5)
+        n = pairs.count()
+        unpersist_minhash_cache(pairs)
+        return n
+
+    timings["minhash_pairs_docs"] = timed(spark, "minhash", minhash_run)
+    timings["simhash_docs"] = timed(
+        spark,
+        "simhash",
+        lambda: simhash(docs, "doc_id", "text").agg(F.bit_xor("simhash")).collect(),
+    )
+    timings["q19_broadcast_join"] = timed(
+        spark, "q19", lambda: q19_orders_by_segment(spark, sf_dir).collect()
+    )
+    media = synthesize_media(spark, n=256)
+    timings["multimodal_features"] = timed(
+        spark,
+        "multimodal",
+        lambda: extract_features(media).agg(F.sum("n_bytes")).collect(),
+    )
+    timings["q33_asof_join"] = timed(
+        spark,
+        "q33",
+        lambda: q33_asof_join(spark, sf_dir)
+        .agg(F.sum("purch_value"), F.count("*"))
+        .collect(),
+    )
+    timings["q31_neardup_lsh"] = timed(
+        spark, "q31", lambda: q31_embedding_neardup_lsh(spark, sf_dir).count()
+    )
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({"metric": "bench_extra_total", "value": total,
+                      "queries": timings, "n_turns": n_turns, "sf_dir": sf_dir}))
+
+
+def explain_query(spark, sf_dir, name, outfile):
+    from pyspark.sql import functions as F
+
+    from gs_mcp_proxy_pii_redactor_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        simhash,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.plans import (
+        ScrubJobConfig,
+        build_pipeline,
+        conv_stats,
+    )
+    from gs_mcp_proxy_pii_redactor_spark.sources import (
+        PARITY_DICTIONARY,
+        synthesize_transcripts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
+    if name == "minhash_pairs_docs":
+        df = minhash_candidate_pairs(docs, "doc_id", "text", threshold=0.5)
+    elif name == "simhash_docs":
+        df = simhash(docs, "doc_id", "text")
+    elif name == "scrub_pipeline":
+        df = build_pipeline(
+            spark, synthesize_transcripts(spark, sf_dir, 50), cfg
+        )
+    elif name == "conv_stats_salted":
+        df = conv_stats(
+            build_pipeline(spark, synthesize_transcripts(spark, sf_dir, 50), cfg)
+        )
+    elif name == "multimodal_features":
+        from gs_mcp_proxy_pii_redactor_spark.operators.multimodal import (
+            extract_features,
+            synthesize_media,
+        )
+
+        df = extract_features(synthesize_media(spark, n=256))
+    else:
+        from gs_mcp_proxy_pii_redactor_spark.plans.queries import QUERIES
+
+        df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    with open(outfile, "w") as f:
+        f.write(plan)
+    print(f"wrote {outfile} ({len(plan)} chars)")
+
+
+def main():
+    cmd = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    if cmd == "minhash":
+        minhash_breakdown(spark, sf_dir)
+    elif cmd == "q31":
+        q31_breakdown(spark, sf_dir)
+    elif cmd == "scrub":
+        scrub_profile(spark, sf_dir)
+    elif cmd == "queries":
+        queries_timing(spark, sf_dir)
+    elif cmd == "explain":
+        explain_query(spark, sf_dir, sys.argv[3], sys.argv[4])
+    else:
+        raise SystemExit(f"unknown subcommand {cmd}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from .partitioning import ensure_min_partitions
+
 
 def normalized_fingerprint(text_col: str | Column) -> Column:
     """md5 of lowercased, alnum+space-normalized text."""
@@ -38,7 +40,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Implemented as min-id-per-group + semi join (two map-side-combinable
     hash aggs) rather than a full window sort — cheaper at scale.
     """
-    with_fp = df.withColumn("_fp", normalized_fingerprint(text_col))
+    # Parallelize the regex+md5 fingerprint pass (small tables arrive as
+    # 1-2 scan splits; see partitioning.ensure_min_partitions).
+    with_fp = ensure_min_partitions(df).withColumn(
+        "_fp", normalized_fingerprint(text_col)
+    )
     keepers = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return with_fp.join(keepers, ["_fp", id_col], "left_semi").drop("_fp")
 
@@ -189,12 +195,20 @@ def minhash_candidate_pairs(
     if sig_bits != 64 and not jvm_signatures:
         raise ValueError("sig_bits=32 requires jvm_signatures=True")
     rows_per_band = num_perm // bands
+    # Spread the shingle+hash+permutation stage over the session's cores
+    # BEFORE the expensive projections: a small documents table is 1-2
+    # scan splits, which ran this stage 27 s single/dual-core at sf1.0
+    # vs ~2 s spread over 32 (round-7 measurement; guide §2.5 input
+    # skew). The exchange moves only (id, text).
+    base = ensure_min_partitions(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    )
     # Two-step projection: shingle strings hashed ONCE (the expensive
     # scan), then cheap long-rehash permutations. Kept as separate
     # selects so CollapseProject doesn't inline the string hashing 64×.
-    hashed = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias(
+    hashed = base.select(
+        "_id",
+        F.transform(shingles("_txt", shingle_n), lambda s: F.xxhash64(s)).alias(
             "_bh"
         ),
     )
@@ -233,26 +247,34 @@ def minhash_candidate_pairs(
         ).alias("_b"),
     ).select("_id", "_b.band", "_b.bucket")
 
-    # Drop degenerate buckets (quadratic-blowup guard).
+    # Drop degenerate buckets (quadratic-blowup guard). The count-side
+    # agg is map-side combinable and the inner join keeps a degenerate
+    # bucket's entries AQE-skew-splittable (a window count would pin
+    # them to one task) — this shape is deliberately retained.
     bucket_sizes = band_entries.groupBy("band", "bucket").agg(
         F.count("*").alias("_n")
     )
-    band_entries = band_entries.join(
+    capped = band_entries.join(
         bucket_sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
         ["band", "bucket"],
         "inner",
     )
 
-    a = band_entries.alias("a")
-    b = band_entries.alias("b")
+    # Pair generation: collect the (≤ max_bucket_size) ids per surviving
+    # bucket and expand pairs from the array. Replaces the former
+    # band-bucket SELF-join, which evaluated band_entries two more times
+    # and paid two extra 800k-row exchanges (round-7 measurement:
+    # sf1.0 full-op 7.5→5.7 s). The groupBy sits on the cap join's own
+    # (band, bucket) partitioning, so it adds no exchange; arrays are
+    # bounded by the cap, so no blowup. Pair shuffle still carries ids
+    # only.
+    buckets = capped.groupBy("band", "bucket").agg(
+        F.collect_list("_id").alias("_ids")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        buckets.select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -324,9 +346,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
     makes the whole operator exactly replicable in an external SQL
     oracle (the driver gate uses this variant; see _q39_oracle_sql).
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("_t")
+    base = ensure_min_partitions(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
     )
+    toks = base.select("_id", F.explode(tokenize("_txt")).alias("_t"))
     if hash_fn == "xxhash64":
         toks = toks.withColumn("_h", F.xxhash64("_t"))
         bit = [
@@ -467,10 +490,9 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for (id_a, id_b) candidates."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(text_col, n)).alias("_sh"),
-    )
+    sh = ensure_min_partitions(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    ).select("_id", F.array_distinct(shingles("_txt", n)).alias("_sh"))
     out = (
         candidate_pairs.join(
             sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "_sha"),

@@ -1,0 +1,41 @@
+"""Scale-adaptive partitioning helpers (optimization guide §2.5/§6).
+
+A small parquet table arrives as ONE OR TWO input splits (a file smaller
+than ``spark.sql.files.maxPartitionBytes`` is a single split), so any
+expensive per-row stage planned directly over the scan runs on one or
+two cores regardless of cluster size. Measured round 7 (sf1.0,
+local[32]): the MinHash shingle+hash stage over a 5.9 MB / 50 k-row
+documents table ran 27 s on its 2 scan partitions — ~16× slower than the
+same work spread over the session's cores.
+
+The fix must be scale-ADAPTIVE, not a constant: at 100 TB the same scan
+arrives as thousands of splits and a forced repartition would only add
+a pointless shuffle. ``ensure_min_partitions`` therefore no-ops whenever
+the input already has at least ``defaultParallelism`` partitions and
+only round-robin-repartitions the narrow projection below that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_partitions(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Round-robin repartition ``df`` up to the session's default
+    parallelism when it arrived with fewer partitions.
+
+    Call this on the NARROW projection (id + payload column) feeding an
+    expensive per-row stage, so the added exchange moves only the bytes
+    that stage needs. No-op for streaming frames (``.rdd`` is undefined
+    there; micro-batch sizing is the streaming engine's job) and when
+    the input is already at least as parallel as the session.
+    """
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = int(min_partitions) if min_partitions else sc.defaultParallelism
+    if target <= 1 or df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
