@@ -57,6 +57,29 @@ def combined_pattern(patterns: dict[str, str] | None = None) -> str:
     )
 
 
+# Literal fragments that, together with "contains a digit", form a
+# NECESSARY condition for any EXTENDED_PII_PATTERNS branch to match:
+# ssn/credit_card/ipv4/iban all require a digit; the key/token shapes
+# each require one of these fixed substrings. Substring probes
+# (UTF8String.contains) and a single-char-class scan are far cheaper
+# than attempting the 9-branch alternation at every position.
+_GATE_LITERALS = (
+    "eyJ",  # jwt
+    "sk-",  # api_key_sk
+    "AKIA",  # api_key_aws
+    "xox",  # api_key_slack
+    "AIza",  # api_key_google
+    "ghp_", "gho_", "ghu_", "ghs_", "ghr_",  # api_key_github gh[pousr]_
+)
+
+
+def _cheap_gate(out: Column) -> Column:
+    gate = out.rlike("[0-9]")
+    for lit in _GATE_LITERALS:
+        gate = gate | out.contains(lit)
+    return gate
+
+
 def scrub_extended_pii(
     col: Column | str,
     patterns: dict[str, str] | None = None,
@@ -65,12 +88,21 @@ def scrub_extended_pii(
     """Fused single-pass extended-PII redaction (JVM-side).
 
     Gated behind ``rlike`` so the (typical) clean row costs one scan and
-    ZERO string allocations; only hit rows pay the rewrite.
+    ZERO string allocations; only hit rows pay the rewrite. With the
+    default pattern set, a digit/literal-fragment pre-gate (see
+    ``_GATE_LITERALS`` — provably implied by any match) short-circuits
+    the expensive alternation scan for rows that cannot match at all
+    (round-7: the alternation rlike alone cost ~3 s of the sf1.0
+    pipeline; most transcript turns contain no digit or key fragment).
     """
     out = F.col(col) if isinstance(col, str) else col
     combined = combined_pattern(patterns)
+    hit = out.rlike(combined)
+    if patterns is None:
+        # && short-circuits in codegen: clean rows never run `combined`
+        hit = _cheap_gate(out) & hit
     return F.when(
-        out.rlike(combined), F.regexp_replace(out, combined, replacement)
+        hit, F.regexp_replace(out, combined, replacement)
     ).otherwise(out)
 
 

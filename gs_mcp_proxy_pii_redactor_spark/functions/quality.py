@@ -20,6 +20,20 @@ from pyspark.sql import functions as F
 
 VALID_ROLES = ("user", "assistant", "system", "tool")
 
+# Character classes for the count features, as literal char sets for
+# ``translate`` (a regex-free per-char map). ``n_chars -
+# length(translate(text, CLASS, ''))`` counts exactly the same
+# occurrences as ``regexp_count(text, '[CLASS]')`` — identical code-point
+# sets, and single-char patterns can't overlap — but skips the regex
+# engine and its per-row UTF8String→String conversion entirely.
+# Round-7 measurement (2.5 M transcript turns, same window): 3×
+# regexp_count 18.8 s vs 3× translate 3.2 s, 0 per-row mismatches.
+# NB: Java regex \s (no UNICODE_CHARACTER_CLASS) is exactly
+# [ \t\n\x0B\f\r] — the ASCII set below, NOT Python's unicode \s.
+_ALPHA_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_DIGIT_CHARS = "0123456789"
+_SPACE_CHARS = " \t\n\x0b\f\r"
+
 
 @dataclass(frozen=True)
 class QualityConfig:
@@ -52,10 +66,11 @@ def feature_columns(text: Column) -> dict[str, Column]:
     eval (measured ~4× slower at 250k rows).
     """
     n_chars = F.length(text)
-    # strip classes via regexp_replace and length-diff — codegen-friendly
-    n_alpha = n_chars - F.length(F.regexp_replace(text, "[A-Za-z]", ""))
-    n_digit = n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))
-    n_space = n_chars - F.length(F.regexp_replace(text, r"\s", ""))
+    # strip classes via translate and length-diff (regex-free; see
+    # _ALPHA_CHARS note)
+    n_alpha = n_chars - F.length(F.translate(text, _ALPHA_CHARS, ""))
+    n_digit = n_chars - F.length(F.translate(text, _DIGIT_CHARS, ""))
+    n_space = n_chars - F.length(F.translate(text, _SPACE_CHARS, ""))
     n_symbol = n_chars - n_alpha - n_digit - n_space
     tokens = F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
     n_tokens = F.size(tokens)
@@ -89,13 +104,14 @@ def staged_feature_frames(df: DataFrame, text_col: str) -> DataFrame:
     df = df.withColumns(
         {
             "n_chars": n_chars,
-            # regexp_count: counts matches WITHOUT materializing stripped
-            # copies of the string (3 fewer full-string allocations per
-            # row than the regexp_replace+length trick — the per-turn
-            # stage is memory-bandwidth sensitive at scale)
-            "_n_alpha": F.regexp_count(text, F.lit("[A-Za-z]")),
-            "_n_digit": F.regexp_count(text, F.lit("[0-9]")),
-            "_n_space": F.regexp_count(text, F.lit(r"\s")),
+            # translate+length: regex-free char counting — ~6× faster
+            # than regexp_count on this stage and bit-identical (see the
+            # _ALPHA_CHARS note; the stripped-copy allocation it
+            # re-introduces is cheaper than the regex engine's per-row
+            # String conversion + per-position match attempts)
+            "_n_alpha": n_chars - F.length(F.translate(text, _ALPHA_CHARS, "")),
+            "_n_digit": n_chars - F.length(F.translate(text, _DIGIT_CHARS, "")),
+            "_n_space": n_chars - F.length(F.translate(text, _SPACE_CHARS, "")),
             "_tokens": F.when(F.length(trimmed) == 0, F.array().cast("array<string>"))
             .otherwise(F.split(trimmed, r"\s+")),
         }

@@ -74,8 +74,12 @@ class ScrubJobConfig:
     # scrub-stage parallelism; None = inherit upstream partitioning
     # (the scrub stage is per-turn and needs NO keyed shuffle — SURVEY §4.3)
     repartition: int | None = None
-    # conv-level aggregate salting factor for hot conversations
-    skew_salt: int = 8
+    # conv-level aggregate salting factor for hot conversations.
+    # Default 1 (off): conv_stats' aggregates are all algebraic, so
+    # map-side partial aggregation already bounds reducer skew and the
+    # salted second exchange is pure overhead (see plans.job.conv_stats).
+    # Set > 1 only when extending the rollup with holistic aggregates.
+    skew_salt: int = 1
 
     @property
     def primary_text_column(self) -> str:

@@ -245,20 +245,36 @@ def drop_reason_rollup(result: DataFrame) -> DataFrame:
     )
 
 
-def conv_stats(result: DataFrame, salt: int = 8) -> DataFrame:
-    """Conversation-level aggregates with skew salting (SURVEY §2.5 J2).
+def conv_stats(result: DataFrame, salt: int = 1) -> DataFrame:
+    """Conversation-level aggregates, optionally skew-salted (SURVEY
+    §2.5 J2).
 
-    Two-phase aggregation: partial agg on (conv_id, salt) spreads a hot
-    conversation over ``salt`` reducers, then a cheap final agg on
-    conv_id combines the partials. AQE skew-join handling covers joins;
-    this covers the groupBy path. ``salt <= 1`` disables salting (a
-    constant salt column — single-phase in effect; pmod(_, 0) would
-    throw under ANSI mode, and a config knob must not be a crash lever).
+    Default (``salt <= 1``): ONE hash aggregation — every aggregate here
+    is algebraic (count/sum), so Spark's map-side partial aggregation
+    already bounds reducer skew: a hot conversation contributes at most
+    one partial row per map task regardless of its turn count, and the
+    single exchange moves partials, not turns. The former
+    always-salted default paid a second full exchange for protection
+    partial aggregation already provides (round-7 measurement at sf1.0:
+    10.7 s → 9.0 s for the bench rollup; guide §2.3/§2.4).
+
+    ``salt > 1``: two-phase salted aggregation — partial agg on
+    (conv_id, salt) then a final agg on conv_id. Use when extending
+    this rollup with HOLISTIC aggregates (collect_list, percentile),
+    where map-side combining cannot help a hot key. (``pmod(_, 0)``
+    would throw under ANSI mode, so the knob is gated, not arithmetic.)
     """
-    salt_col = (
-        F.pmod(F.xxhash64("turn_idx"), F.lit(salt)) if salt > 1 else F.lit(0)
+    if salt <= 1:
+        keep = F.col("keep").cast("long")
+        return result.groupBy("conv_id").agg(
+            F.count("*").alias("n_turns"),
+            F.sum(keep).alias("n_keep"),
+            (F.sum(keep) / F.count("*")).alias("keep_rate"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    salted = result.withColumn(
+        "_salt", F.pmod(F.xxhash64("turn_idx"), F.lit(salt))
     )
-    salted = result.withColumn("_salt", salt_col)
     partial = salted.groupBy("conv_id", "_salt").agg(
         F.count("*").alias("n"),
         F.sum(F.col("keep").cast("long")).alias("k"),

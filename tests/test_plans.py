@@ -151,9 +151,32 @@ def test_tpch_q3_shape_broadcast_and_topk(spark, sf_dir):
 
 
 def test_conv_stats_two_phase_salted_agg(spark, sf_dir):
-    """conv_stats: partial agg on (conv_id, _salt) then final on conv_id
-    — three HashAggregate pairs would be wrong; the salt key must appear
-    in the FIRST grouping only (PLANS.md J2)."""
+    """conv_stats(salt>1): partial agg on (conv_id, _salt) then final on
+    conv_id — three HashAggregate pairs would be wrong; the salt key
+    must appear in the FIRST grouping only (PLANS.md J2)."""
+    from gs_mcp_proxy_pii_redactor_spark.plans import (
+        ScrubJobConfig,
+        build_pipeline,
+        conv_stats,
+    )
+
+    transcripts = synthesize_transcripts(spark, sf_dir, turns_per_doc=2)
+    cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
+    out = conv_stats(build_pipeline(spark, transcripts, cfg), salt=8)
+    plan = _executed_plan(out)
+    # two keyed exchanges: (conv_id, _salt) partial → conv_id final
+    assert "_salt" in plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 2, exchanges
+    assert any("_salt" in ln for ln in exchanges)
+    assert any("_salt" not in ln and "conv_id" in ln for ln in exchanges)
+
+
+def test_conv_stats_default_single_exchange(spark, sf_dir):
+    """conv_stats default (salt off): all aggregates are algebraic, so
+    ONE partial+final hash agg pair around ONE conv_id exchange — the
+    salted second exchange is reserved for holistic-agg extensions
+    (round-7 optimization; guide §2.3/§2.4)."""
     from gs_mcp_proxy_pii_redactor_spark.plans import (
         ScrubJobConfig,
         build_pipeline,
@@ -164,12 +187,10 @@ def test_conv_stats_two_phase_salted_agg(spark, sf_dir):
     cfg = ScrubJobConfig(dictionary=tuple(PARITY_DICTIONARY))
     out = conv_stats(build_pipeline(spark, transcripts, cfg))
     plan = _executed_plan(out)
-    # two keyed exchanges: (conv_id, _salt) partial → conv_id final
-    assert "_salt" in plan
+    assert "_salt" not in plan
     exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
-    assert len(exchanges) == 2, exchanges
-    assert any("_salt" in ln for ln in exchanges)
-    assert any("_salt" not in ln and "conv_id" in ln for ln in exchanges)
+    assert len(exchanges) == 1, exchanges
+    assert "conv_id" in exchanges[0]
 
 
 def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
