@@ -512,70 +512,113 @@ def embedding_near_dup_pairs(
     n_tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via MULTI-TABLE sign-LSH
-    bucket join, exact-cosine verified. Returns (id_a, id_b, cos_sim).
+    buckets, exact-cosine verified. Returns (id_a, id_b, cos_sim).
 
     Band-OR over ``n_tables`` independent hyperplane packs: a pair is a
     candidate if it collides in ANY table, so recall at similarity s is
     1-(1-p^n_bits)^n_tables with p = 1-acos(s)/π (e.g. s=0.997, 8 bits,
-    4 tables → ~0.999 vs ~0.81 single-table). Scale shape: the pair
-    shuffle carries only (table, signature, id) — vectors rejoin by id
-    AFTER candidate dedup, so each vector crosses the wire O(n_tables)
-    times, not O(candidates). Degenerate buckets are capped.
+    4 tables → ~0.999 vs ~0.81 single-table). Degenerate buckets are
+    capped (count-agg + AQE-skew-splittable join, like minhash).
+
+    Scale/perf shape (restructured round 7 — the former
+    candidate-self-join + per-pair vector re-join verified 5.4 M
+    candidate pairs at sf1.0 in ~20 s of interpreted expression eval,
+    then ~6 s vectorized; this shape runs the whole verify in ~1 s):
+    each vector crosses the wire exactly ``n_tables`` times into its
+    buckets, every bucket's pairs are verified IN PLACE by one
+    vectorized numpy kernel (``applyInPandas`` per bucket — a
+    left-fold over the dim axis, bit-identical to cosine_sim's JVM
+    fold, see make_dot_fold_udf), and only pairs that PASS the
+    threshold are shuffled for cross-table dedup. Candidate volume
+    never hits an exchange.
     """
+    from pyspark.sql.types import DoubleType as _D
+    from pyspark.sql.types import StructField, StructType
+
     lsh = make_multi_sign_lsh_udf(n_tables, n_bits, seed)
-    # Parallelize the signature/norm stages past the 1-2 scan splits a
-    # small embeddings file arrives as (partitioning.ensure_min_partitions).
+    # Parallelize the signature stage past the 1-2 scan splits a small
+    # embeddings file arrives as (partitioning.ensure_min_partitions).
     ids = ensure_min_partitions(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     )
     sig = ids.select(
-        "_id", F.posexplode(lsh(F.col("_v"))).alias("_t", "_sig")
+        "_id", "_v", F.posexplode(lsh(F.col("_v"))).alias("_t", "_sig")
     )
     sizes = sig.groupBy("_t", "_sig").agg(F.count("*").alias("_n"))
-    sig = sig.join(
+    capped = sig.join(
         sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"), ["_t", "_sig"]
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._t") == F.col("b._t"))
-            & (F.col("a._sig") == F.col("b._sig"))
-            & (F.col("a._id") < F.col("b._id")),
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("_cos", _D()),
+        ]
+    )
+
+    def _kernel(ids_arr: np.ndarray, mat: np.ndarray):
+        """All-pairs cosine for one same-dimension bucket slice.
+        Bit-identical to cosine_sim: left-fold dots/square-sums over
+        the dim axis (same IEEE op sequence as the JVM aggregate),
+        then cos = dot / (na * nb) with the same operation order."""
+        n = len(ids_arr)
+        nrm2 = np.zeros(n, dtype=np.float64)
+        dot = np.zeros((n, n), dtype=np.float64)
+        for i in range(mat.shape[1]):
+            c = mat[:, i]
+            nrm2 += c * c
+            dot += c[:, None] * c[None, :]
+        nrm = np.sqrt(nrm2)
+        cos = dot / (nrm[:, None] * nrm[None, :])
+        iu, ju = np.triu_indices(n, 1)
+        # STRICT id_a < id_b, matching the former self-join condition:
+        # two rows sharing an id never pair
+        keep = ids_arr[iu] != ids_arr[ju]
+        return ids_arr[iu][keep], ids_arr[ju][keep], cos[iu, ju][keep]
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "_cos": []})
+        if len(pdf) < 2:
+            return empty
+        # ascending id order makes pair order match Spark's comparison
+        # (UTF-8 byte order == code-point order for strings)
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        vs = pdf["_v"].tolist()
+        # Pairs of unequal dimension (or involving a null vector) got a
+        # NULL cosine from zip_with+fold and were filtered out — so only
+        # same-dimension slices can produce rows; run the kernel per
+        # dimension group. The common case is one group.
+        lens = np.asarray(
+            [-1 if v is None else len(v) for v in vs], dtype=np.int64
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+        parts = []
+        for ln in np.unique(lens):
+            if ln < 0:
+                continue
+            sel = lens == ln
+            if sel.sum() < 2:
+                continue
+            ids_arr = pdf["_id"].to_numpy()[sel]
+            mat = np.asarray(
+                [v for v, m in zip(vs, sel) if m], dtype=np.float64
+            )
+            ia, ib, cc = _kernel(ids_arr, mat)
+            if len(ia):
+                parts.append(
+                    pd.DataFrame({"id_a": ia, "id_b": ib, "_cos": cc})
+                )
+        if not parts:
+            return empty
+        return pd.concat(parts, ignore_index=True)
+
+    pairs = capped.groupBy("_t", "_sig").applyInPandas(bucket_pairs, schema)
+    # round+filter BEFORE the cross-table dedup so the dedup exchange
+    # carries survivors only; duplicate pairs carry identical doubles,
+    # so filter-then-dedup == dedup-then-filter.
+    return (
+        pairs.select("id_a", "id_b", F.round("_cos", 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
-    # Verify stage, restructured for the candidate volume (round-7
-    # measurement: 5.4 M candidates at sf1.0, ~20 s interpreted):
-    #  * each vector's norm is computed ONCE here (identical expression
-    #    to cosine_sim's denominators → identical doubles) instead of
-    #    per pair;
-    #  * the dot product runs vectorized in make_dot_fold_udf (same
-    #    left-fold, bit-identical);
-    #  * the id joins hint SHUFFLE_HASH: the pair side needs no sort,
-    #    and unlike a broadcast hint this stays safe when the vector
-    #    table is huge (per-partition build side only).
-    # cos = dot / (na * nb) is the exact operation order cosine_sim used.
-    vecs = ids.withColumn("_nrm", vector_l2_norm("_v"))
-    va = vecs.select(
-        F.col("_id").alias("id_a"),
-        F.col("_v").alias("_va"),
-        F.col("_nrm").alias("_na"),
-    )
-    vb = vecs.select(
-        F.col("_id").alias("id_b"),
-        F.col("_v").alias("_vb"),
-        F.col("_nrm").alias("_nb"),
-    )
-    dot = make_dot_fold_udf()(F.col("_va"), F.col("_vb"))
-    pairs = (
-        cand.join(va.hint("shuffle_hash"), "id_a")
-        .join(vb.hint("shuffle_hash"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot / (F.col("_na") * F.col("_nb")), 6).alias("cos_sim"),
-        )
-    )
-    return pairs.filter(F.col("cos_sim") >= threshold)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import ensure_min_partitions
 from ..sources.catalog import read_table
 
 # ---------------------------------------------------------------------------
@@ -137,7 +138,8 @@ _DICT_RE = r"(?i)\b(table|index|merge|scan)\b"
 
 
 def q04_dict_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # regex rewrite per row over a 1-2-split scan — spread it first
+    docs = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.regexp_replace(F.col("text"), _DICT_RE, "[REDACTED]").alias(
@@ -347,6 +349,9 @@ SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions FROM (
 
 
 def q12_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT repartitioned: A/B at sf1.0 showed the [^a-z ] strip + md5 is
+    # cheap enough that the added exchange loses in healthy windows
+    # (plain best 0.58 s vs 0.79 s repartitioned)
     docs = read_table(spark, sf_dir, "documents")
     fp = F.md5(F.regexp_replace(F.lower("text"), "[^a-z ]", ""))
     return (
@@ -372,7 +377,8 @@ def q13_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding")
     )
-    joined = emb.crossJoin(F.broadcast(q))
+    # per-row interpreted cosine over a 1-2-split scan — spread it first
+    joined = ensure_min_partitions(emb).crossJoin(F.broadcast(q))
     dot = F.aggregate(
         F.zip_with(
             "embedding",
@@ -576,6 +582,8 @@ def q19_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
+    # NOT repartitioned: A/B at sf1.0 showed the broadcast build, not
+    # the 2-split probe scan, dominates — the exchange only added time
     orders = read_table(spark, sf_dir, "orders")
     return (
         orders.join(
