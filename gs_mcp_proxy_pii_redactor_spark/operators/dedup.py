@@ -451,30 +451,40 @@ def simhash_near_dup_pairs(
         ).alias("_c"),
     ).select("_id", "simhash", "_c.chunk", "_c.val")
     sizes = chunks.groupBy("chunk", "val").agg(F.count("*").alias("_n"))
-    chunks = chunks.join(
+    capped = chunks.join(
         sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
         ["chunk", "val"],
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # Pair generation from per-bucket (id, simhash) lists instead of a
+    # chunk-bucket self-join (round 7, same restructure as minhash):
+    # the self-join re-evaluated `chunks` — and with it the ENTIRE
+    # simhash aggregation — two more times. Arrays are bounded by the
+    # bucket cap under production settings (oracle runs pass an
+    # effectively-uncapped size and already warn via exact_recall).
+    buckets = capped.groupBy("chunk", "val").agg(
+        F.collect_list(F.struct("_id", "simhash")).alias("_e")
     )
+    pairs = (
+        buckets.select(F.explode("_e").alias("ea"), "_e")
+        .select("ea", F.explode("_e").alias("eb"))
+        .filter(F.col("ea._id") < F.col("eb._id"))
+        .select(
+            F.col("ea._id").alias("id_a"),
+            F.col("eb._id").alias("id_b"),
+            F.col("ea.simhash").alias("sh_a"),
+            F.col("eb.simhash").alias("sh_b"),
+        )
+    )
+    # Verify (cheap bit_count) BEFORE the cross-chunk dedup so the
+    # dedup exchange carries qualifying pairs only — duplicates of a
+    # pair carry identical signatures, hence identical hamming, so
+    # filter-then-dedup == dedup-then-filter (round 7; the pre-dedup
+    # pair volume is the dominant term under exact-recall settings).
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
